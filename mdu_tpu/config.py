@@ -1,0 +1,132 @@
+"""Configuration dataclasses — the framework's public knobs.
+
+Mirrors the reference plugin's Gradio widget state one-for-one (SURVEY.md §5;
+defaults from ref scripts/tilediffusion.py:127-132, scripts/tilevae.py:79-99,
+scripts/tileglobal.py:86-96) so a user of the reference finds every knob here
+with the same name and default.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from .utils.bbox import BlendMode, RegionSpec
+
+
+class Method:
+    """Tile-scheduler method names (ref tile_utils/utils.py:28-34)."""
+
+    MULTI_DIFF = "MultiDiffusion"
+    MIX_DIFF = "Mixture of Diffusers"
+    DEMO_FU = "DemoFusion"
+
+
+@dataclass
+class TiledDiffusionConfig:
+    """Tiled Diffusion knobs (ref scripts/tilediffusion.py:98-255 UI)."""
+
+    enabled: bool = True
+    method: str = Method.MULTI_DIFF
+    # latent-space tile geometry; defaults ref tilediffusion.py:127-132
+    tile_w: int = 96
+    tile_h: int = 96
+    overlap: int = 48            # txt2img default; img2img upscale uses 8
+    tile_bs: int = 4
+    # pre-upscale of the init image before img2img (GAN upscaler in the ref)
+    upscaler: Optional[str] = None
+    scale_factor: float = 2.0
+    # regional prompt control
+    draw_background: bool = True
+    causal_layers: bool = False
+    regions: List[RegionSpec] = field(default_factory=list)
+    # noise inversion (img2img only)
+    noise_inverse: bool = False
+    noise_inverse_steps: int = 10
+    noise_inverse_retouch: float = 1.0
+    noise_inverse_renoise_strength: float = 1.0
+    noise_inverse_renoise_kernel: int = 64
+    # ControlNet hint tiling
+    control_tensor_cpu: bool = False
+
+    def validate(self) -> "TiledDiffusionConfig":
+        from .utils.grid import clamp_overlap
+
+        ov = clamp_overlap(self.tile_w, self.tile_h, self.overlap)
+        return dataclasses.replace(self, overlap=ov)
+
+
+@dataclass
+class TiledVAEConfig:
+    """Tiled VAE knobs (ref scripts/tilevae.py:659-758 UI)."""
+
+    enabled: bool = True
+    # pixel-space tile size for the encoder, latent-space for the decoder
+    encoder_tile_size: int = 1536
+    decoder_tile_size: int = 96
+    fast_decoder: bool = True
+    fast_encoder: bool = True
+    color_fix: bool = False
+    # how many tiles run through the lockstep-batched queue at once
+    tile_batch: int = 4
+
+
+@dataclass
+class DemoFusionConfig:
+    """DemoFusion knobs (ref scripts/tileglobal.py:55-124 UI)."""
+
+    enabled: bool = True
+    window_size: int = 128
+    overlap: int = 64
+    tile_bs: int = 4
+    tile_bs_g: int = 4           # global dilated-view batch size
+    scale_factor: int = 3
+    cosine_scale_1: float = 3.0  # skip-residual schedule
+    cosine_scale_2: float = 1.0  # local/global mix schedule
+    cosine_scale_3: float = 1.0  # gaussian blur sigma schedule
+    sigma: float = 0.6
+    random_jitter: bool = True
+    mixture: bool = False        # run half the global views unblurred
+    gaussian_filter: bool = True
+    keep_intermediate: bool = True
+    denoise_strengths: Tuple[float, ...] = (0.45,)  # per-phase strengths
+
+
+@dataclass
+class SamplerConfig:
+    name: str = "Euler"          # Euler | Euler a | DDIM | DPM++ 2M | DPM++ 2M Karras
+    steps: int = 20
+    cfg_scale: float = 7.0
+    eta: float = 0.0
+    denoising_strength: float = 0.75   # img2img only
+    schedule: str = "automatic"        # automatic | karras
+
+
+def regions_to_json(regions: List[RegionSpec]) -> str:
+    """Serialize region settings (ref region-config JSON, tilediffusion.py:533-571)."""
+    payload = {
+        f"Region {i + 1}": {
+            "x": r.x, "y": r.y, "w": r.w, "h": r.h,
+            "prompt": r.prompt, "neg_prompt": r.neg_prompt,
+            "blend_mode": r.blend_mode.value,
+            "feather_ratio": r.feather_ratio, "seed": r.seed,
+        }
+        for i, r in enumerate(regions)
+    }
+    return json.dumps(payload, indent=2)
+
+
+def regions_from_json(text: str) -> List[RegionSpec]:
+    payload = json.loads(text)
+    out = []
+    for _, d in sorted(payload.items()):
+        out.append(RegionSpec(
+            x=round(float(d["x"]), 4), y=round(float(d["y"]), 4),
+            w=round(float(d["w"]), 4), h=round(float(d["h"]), 4),
+            prompt=d.get("prompt", ""), neg_prompt=d.get("neg_prompt", ""),
+            blend_mode=BlendMode(d.get("blend_mode", "Background")),
+            feather_ratio=round(float(d.get("feather_ratio", 0.2)), 4),
+            seed=int(d.get("seed", -1)),
+        ))
+    return out

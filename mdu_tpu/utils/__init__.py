@@ -1,0 +1,10 @@
+from .bbox import BBox, BlendMode, RegionBBox, RegionSpec
+from .grid import batch_bboxes, clamp_overlap, grid_dims, paint_count, split_grid, splitable
+from .guided_filter import get_retouch_mask
+from .weights import feather_mask, gaussian_weights
+
+__all__ = [
+    "BBox", "BlendMode", "RegionBBox", "RegionSpec",
+    "batch_bboxes", "clamp_overlap", "grid_dims", "paint_count", "split_grid",
+    "splitable", "get_retouch_mask", "feather_mask", "gaussian_weights",
+]
