@@ -1,0 +1,119 @@
+"""GroupNorm with externally supplied statistics — the heart of Tiled VAE.
+
+The reference emulates a two-pass distributed GroupNorm with a cooperative
+task queue that suspends every tile at each norm layer and weight-averages
+per-tile *biased* variances (ref: scripts/tilevae.py:207-245, 289-335).
+
+Here the same computation is a pair of pure functions:
+
+  * ``group_stats``       — per-sample/group (mean, E[x^2], count), fp32,
+                            optionally masked to the tile's owned region;
+  * ``combine_group_stats`` — exact pooled stats across the tile axis using
+                            the E[x^2] form (improves on tilevae.py:320-335,
+                            which weight-averages biased vars — see
+                            SURVEY.md §7 "hard parts (a)");
+  * ``apply_group_norm``  — normalize with fixed stats + affine.
+
+Under a sharded tile axis the combine step is a `psum` over ICI — the one
+true cross-tile collective in the system (SURVEY.md §5).
+
+Stats are always computed in float32: the reference's fp16-overflow fallback
+(tilevae.py:302-304) becomes unconditional fp32 accumulation.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def group_stats(
+    x: jnp.ndarray,
+    num_groups: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-(batch, group) first/second moments of an NCHW tensor, in fp32.
+
+    ``mask`` — optional [H, W] or [1, 1, H, W] 0/1 map restricting the stats
+    to the tile's owned (crop-valid) pixels, giving exactly-once coverage of
+    the canvas across tiles.
+
+    Returns ``(mean, meansq, count)`` each of shape [B, G] (count is the
+    number of contributing elements per group).
+    """
+    B, C, H, W = x.shape
+    G = num_groups
+    xf = x.astype(jnp.float32).reshape(B, G, C // G, H, W)
+    if mask is None:
+        n = jnp.full((B, G), C // G * H * W, dtype=jnp.float32)
+        s1 = jnp.sum(xf, axis=(2, 3, 4))
+        s2 = jnp.sum(xf * xf, axis=(2, 3, 4))
+    else:
+        m = mask.astype(jnp.float32).reshape(1, 1, 1, H, W)
+        n = jnp.broadcast_to(jnp.sum(m, axis=(2, 3, 4)) * (C // G), (B, G))
+        s1 = jnp.sum(xf * m, axis=(2, 3, 4))
+        s2 = jnp.sum(xf * xf * m, axis=(2, 3, 4))
+    return s1 / n, s2 / n, n
+
+
+def combine_group_stats(
+    means: jnp.ndarray, meansqs: jnp.ndarray, counts: jnp.ndarray, axis: int = 0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pool per-tile moments into exact global (mean, var) along ``axis``.
+
+    mean = Σ nᵢ mᵢ / Σ nᵢ ;  var = Σ nᵢ E[x²]ᵢ / Σ nᵢ − mean².
+    """
+    total = jnp.sum(counts, axis=axis)
+    mean = jnp.sum(means * counts, axis=axis) / total
+    meansq = jnp.sum(meansqs * counts, axis=axis) / total
+    var = jnp.maximum(meansq - mean * mean, 0.0)
+    return mean, var
+
+
+def combine_group_stats_reference(
+    means: jnp.ndarray, vars_: jnp.ndarray, counts: jnp.ndarray, axis: int = 0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-parity pooling: pixel-count-weighted average of biased
+    per-tile vars (ref tilevae.py:320-335).  Kept for output-compat mode."""
+    total = jnp.sum(counts, axis=axis)
+    w = counts / total
+    return jnp.sum(means * w, axis=axis), jnp.sum(vars_ * w, axis=axis)
+
+
+def apply_group_norm(
+    x: jnp.ndarray,
+    num_groups: int,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Normalize NCHW ``x`` with fixed per-(batch, group) stats + affine.
+
+    (ref custom_group_norm, tilevae.py:218-245; eps=1e-6 matches.)
+    """
+    B, C, H, W = x.shape
+    G = num_groups
+    xf = x.astype(jnp.float32).reshape(B, G, C // G, H, W)
+    mu = mean.reshape(B, G, 1, 1, 1)
+    rstd = jnp.reciprocal(jnp.sqrt(var.reshape(B, G, 1, 1, 1) + eps))
+    out = ((xf - mu) * rstd).reshape(B, C, H, W)
+    if weight is not None:
+        out = out * weight.reshape(1, C, 1, 1)
+    if bias is not None:
+        out = out + bias.reshape(1, C, 1, 1)
+    return out.astype(x.dtype)
+
+
+def group_norm(
+    x: jnp.ndarray,
+    num_groups: int,
+    weight: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Plain (single-device, full-tensor) GroupNorm, fp32 stats."""
+    mean, meansq, _ = group_stats(x, num_groups)
+    var = jnp.maximum(meansq - mean * mean, 0.0)
+    return apply_group_norm(x, num_groups, mean, var, weight, bias, eps)
