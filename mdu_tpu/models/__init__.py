@@ -1,0 +1,29 @@
+from .init_utils import random_params
+from .clip import (
+    CLIPTextConfig,
+    CLIPTextModel,
+    clip_l_config,
+    open_clip_bigg_config,
+    open_clip_h_config,
+    tiny_clip_config,
+)
+from .unet import (
+    UNet2DCondition,
+    UNetConfig,
+    sd15_unet_config,
+    sd21_unet_config,
+    sdxl_unet_config,
+    tiny_sdxl_unet_config,
+    tiny_unet_config,
+)
+from .vae import AutoencoderKL, Decoder, Encoder, VAEConfig, sample_from_moments, tiny_vae_config
+
+__all__ = [
+    "random_params",
+    "CLIPTextConfig", "CLIPTextModel", "clip_l_config", "open_clip_bigg_config",
+    "open_clip_h_config", "tiny_clip_config",
+    "UNet2DCondition", "UNetConfig", "sd15_unet_config", "sd21_unet_config",
+    "sdxl_unet_config", "tiny_sdxl_unet_config", "tiny_unet_config",
+    "AutoencoderKL", "Decoder", "Encoder", "VAEConfig", "sample_from_moments",
+    "tiny_vae_config",
+]

@@ -1,0 +1,129 @@
+"""Shared NN building blocks (flax.linen), torch-layout parameters.
+
+Parameters use torch naming/layout — conv kernels OIHW named ``weight``,
+linears ``[out, in]`` — so loading diffusers/CompVis safetensors checkpoints
+is a pure name-mapping with no transposes (see models/loader.py).
+
+All modules take logical NCHW activations; XLA's TPU layout assignment
+chooses physical layouts, so this costs nothing while keeping parity with
+the reference's tensor semantics.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.tile_context import TileContext, tile_group_norm
+
+Dtype = Any
+
+
+def _conv_kernel_init(key, shape, dtype):
+    # He-uniform over fan_in, matching torch's default Conv2d init closely
+    fan_in = shape[1] * shape[2] * shape[3]
+    bound = (1.0 / fan_in) ** 0.5 * (3.0 ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _linear_kernel_init(key, shape, dtype):
+    fan_in = shape[1]
+    bound = (1.0 / fan_in) ** 0.5 * (3.0 ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv2D(nn.Module):
+    """2-D conv on NCHW with an OIHW ``weight`` param (torch layout)."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, int, Sequence[Tuple[int, int]]] = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_c = x.shape[1]
+        kh, kw = self.kernel_size
+        w = self.param("weight", _conv_kernel_init, (self.features, in_c, kh, kw), jnp.float32)
+        if isinstance(self.padding, int):
+            pad = ((self.padding, self.padding), (self.padding, self.padding))
+        else:
+            pad = self.padding
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=self.strides, padding=pad, dimension_numbers=dn)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype).reshape(1, -1, 1, 1)
+        return y
+
+
+class Linear(nn.Module):
+    """Dense layer with a ``[out, in]`` ``weight`` param (torch layout)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_f = x.shape[-1]
+        w = self.param("weight", _linear_kernel_init, (self.features, in_f), jnp.float32)
+        y = jnp.einsum("...i,oi->...o", x.astype(self.dtype), w.astype(self.dtype))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 stats; pools stats across tiles when ctx given."""
+
+    num_groups: int = 32
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, ctx: Optional[TileContext] = None) -> jnp.ndarray:
+        C = x.shape[1]
+        w = self.param("weight", nn.initializers.ones, (C,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return tile_group_norm(x, self.num_groups, w, b, ctx, self.eps).astype(self.dtype)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        w = self.param("weight", nn.initializers.ones, (C,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (out * w + b).astype(self.dtype)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
+                       flip_sin_to_cos: bool = True, shift: int = 0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding [B] -> [B, dim] (diffusers convention)."""
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / (half - shift))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb

@@ -1,0 +1,255 @@
+"""Flax UNet2DCondition — the SD denoiser family (SD1.x / SD2.x / SDXL).
+
+The reference borrows A1111's UNet (SURVEY.md L0); here it is owned.  One
+parameterized module covers the family:
+
+  * SD1.5 : 4 levels (320,640,1280,1280), 8 heads, ctx 768, conv projections
+  * SD2.x : head_dim 64, ctx 1024, linear projections
+  * SDXL  : 3 levels (320,640,1280), transformer depth (1,2,10), ctx 2048,
+            'text_time' addition embedding (pooled text + size micro-conds)
+
+Tiles of a tiled-diffusion step enter as independent batch entries, so all
+norms are per-sample — no cross-tile pooling in the UNet (matches the
+reference, which runs the stock UNet per tile batch).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention
+from .layers import Conv2D, GroupNorm, LayerNorm, Linear, silu, timestep_embedding
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    num_heads: Optional[int] = 8            # SD1.5: fixed head count
+    head_dim: Optional[int] = None          # SD2/SDXL: fixed head dim (64)
+    transformer_layers: Tuple[int, ...] = (1, 1, 1, 0)   # 0 = no attn block
+    use_linear_projection: bool = False
+    addition_embed_type: Optional[str] = None            # 'text_time' for SDXL
+    addition_time_embed_dim: int = 256
+    addition_pooled_dim: int = 1280
+    num_time_ids: int = 6
+    norm_num_groups: int = 32
+
+    def heads_for(self, channels: int) -> int:
+        if self.head_dim is not None:
+            return channels // self.head_dim
+        return self.num_heads
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+def sd15_unet_config() -> UNetConfig:
+    return UNetConfig()
+
+
+def sd21_unet_config() -> UNetConfig:
+    return UNetConfig(cross_attention_dim=1024, num_heads=None, head_dim=64,
+                      use_linear_projection=True)
+
+
+def sdxl_unet_config() -> UNetConfig:
+    return UNetConfig(
+        block_out_channels=(320, 640, 1280), cross_attention_dim=2048,
+        num_heads=None, head_dim=64, transformer_layers=(0, 2, 10),
+        use_linear_projection=True, addition_embed_type="text_time")
+
+
+def tiny_unet_config() -> UNetConfig:
+    """Small SD1.5-shaped config for tests (full depth, thin width)."""
+    return UNetConfig(block_out_channels=(8, 16, 16, 16), cross_attention_dim=16,
+                      num_heads=2, transformer_layers=(1, 1, 1, 0), norm_num_groups=4)
+
+
+def tiny_sdxl_unet_config() -> UNetConfig:
+    return UNetConfig(block_out_channels=(8, 16, 16), cross_attention_dim=16,
+                      num_heads=None, head_dim=8, transformer_layers=(0, 1, 2),
+                      use_linear_projection=True, addition_embed_type="text_time",
+                      addition_time_embed_dim=8, addition_pooled_dim=16, norm_num_groups=4)
+
+
+class CrossAttention(nn.Module):
+    query_dim: int
+    heads: int
+    context_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ctx = x if context is None else context
+        q = Linear(self.query_dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = Linear(self.query_dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = Linear(self.query_dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        out = multi_head_attention(q, k, v, self.heads)
+        return Linear(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForwardGEGLU(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = Linear(inner * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate)
+        return Linear(self.dim, dtype=self.dtype, name="out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, name="attn1")(
+            LayerNorm(dtype=self.dtype, name="norm1")(x))
+        x = x + CrossAttention(self.dim, self.heads, self.context_dim, dtype=self.dtype,
+                               name="attn2")(LayerNorm(dtype=self.dtype, name="norm2")(x), context)
+        x = x + FeedForwardGEGLU(self.dim, dtype=self.dtype, name="ff")(
+            LayerNorm(dtype=self.dtype, name="norm3")(x))
+        return x
+
+
+class Transformer2D(nn.Module):
+    cfg: UNetConfig
+    channels: int
+    depth: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, C, H, W = x.shape
+        heads = self.cfg.heads_for(C)
+        h = GroupNorm(self.cfg.norm_num_groups, eps=1e-6, dtype=self.dtype, name="norm")(x)
+        if self.cfg.use_linear_projection:
+            h = h.reshape(B, C, H * W).transpose(0, 2, 1)
+            h = Linear(C, dtype=self.dtype, name="proj_in")(h)
+        else:
+            h = Conv2D(C, kernel_size=(1, 1), padding=0, dtype=self.dtype, name="proj_in")(h)
+            h = h.reshape(B, C, H * W).transpose(0, 2, 1)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(C, heads, self.cfg.cross_attention_dim,
+                                      dtype=self.dtype, name=f"block_{d}")(h, context)
+        if self.cfg.use_linear_projection:
+            h = Linear(C, dtype=self.dtype, name="proj_out")(h)
+            h = h.transpose(0, 2, 1).reshape(B, C, H, W)
+        else:
+            h = h.transpose(0, 2, 1).reshape(B, C, H, W)
+            h = Conv2D(C, kernel_size=(1, 1), padding=0, dtype=self.dtype, name="proj_out")(h)
+        return x + h
+
+
+class ResBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = GroupNorm(self.groups, eps=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = Conv2D(self.out_channels, dtype=self.dtype, name="conv1")(silu(h))
+        t = Linear(self.out_channels, dtype=self.dtype, name="time_emb_proj")(silu(temb))
+        h = h + t[:, :, None, None]
+        h = GroupNorm(self.groups, eps=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = Conv2D(self.out_channels, dtype=self.dtype, name="conv2")(silu(h))
+        if x.shape[1] != self.out_channels:
+            x = Conv2D(self.out_channels, kernel_size=(1, 1), padding=0,
+                       dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv2D(self.channels, strides=(2, 2), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+        return Conv2D(self.channels, dtype=self.dtype, name="conv")(x)
+
+
+class UNet2DCondition(nn.Module):
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timesteps, context, added_cond: Optional[dict] = None):
+        """x [B,C,H,W]; timesteps [B]; context [B,L,D] text embeddings;
+        added_cond for SDXL: {'text_embeds': [B,1280], 'time_ids': [B,6]}."""
+        cfg = self.cfg
+        bc = cfg.block_out_channels
+        ted = cfg.time_embed_dim
+
+        temb = timestep_embedding(timesteps, bc[0])
+        temb = Linear(ted, dtype=self.dtype, name="time_embed_1")(temb)
+        temb = Linear(ted, dtype=self.dtype, name="time_embed_2")(silu(temb))
+
+        if cfg.addition_embed_type == "text_time":
+            assert added_cond is not None, "SDXL needs added_cond text_embeds/time_ids"
+            tids = added_cond["time_ids"].reshape(-1)
+            tid_emb = timestep_embedding(tids, cfg.addition_time_embed_dim)
+            tid_emb = tid_emb.reshape(x.shape[0], -1)
+            add = jnp.concatenate([added_cond["text_embeds"], tid_emb], axis=-1)
+            add = Linear(ted, dtype=self.dtype, name="add_embed_1")(add)
+            add = Linear(ted, dtype=self.dtype, name="add_embed_2")(silu(add))
+            temb = temb + add
+
+        h = Conv2D(bc[0], dtype=self.dtype, name="conv_in")(x)
+        skips = [h]
+        for i, ch in enumerate(bc):
+            for j in range(cfg.layers_per_block):
+                h = ResBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_res_{j}")(h, temb)
+                if cfg.transformer_layers[i] > 0:
+                    h = Transformer2D(cfg, ch, cfg.transformer_layers[i],
+                                      dtype=self.dtype, name=f"down_{i}_attn_{j}")(h, context)
+                skips.append(h)
+            if i != len(bc) - 1:
+                h = Downsample2D(ch, dtype=self.dtype, name=f"down_{i}_downsample")(h)
+                skips.append(h)
+
+        mid_depth = cfg.transformer_layers[-1] if cfg.transformer_layers[-1] > 0 else 1
+        h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(h, temb)
+        h = Transformer2D(cfg, bc[-1], mid_depth, dtype=self.dtype, name="mid_attn")(h, context)
+        h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(h, temb)
+
+        for i, ch in enumerate(reversed(bc)):
+            level = len(bc) - 1 - i
+            for j in range(cfg.layers_per_block + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=1)
+                h = ResBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_res_{j}")(h, temb)
+                if cfg.transformer_layers[level] > 0:
+                    h = Transformer2D(cfg, ch, cfg.transformer_layers[level],
+                                      dtype=self.dtype, name=f"up_{i}_attn_{j}")(h, context)
+            if i != len(bc) - 1:
+                h = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
+
+        h = GroupNorm(cfg.norm_num_groups, eps=1e-5, dtype=self.dtype, name="norm_out")(h)
+        h = Conv2D(cfg.out_channels, dtype=self.dtype, name="conv_out")(silu(h))
+        return h

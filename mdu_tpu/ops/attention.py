@@ -1,0 +1,81 @@
+"""Attention primitives.
+
+TPU restatement of the reference's VAE attention backends
+(ref tile_utils/attn.py:19-183): the many VRAM-adaptive CUDA variants
+(xformers / doggettx query-chunking / sdp / sub-quadratic) collapse into two
+implementations here:
+
+  * ``sdpa``            — one fused XLA softmax(QKᵀ)V with fp32 accumulation;
+                          XLA already fuses this well on the MXU.
+  * ``chunked_sdpa``    — serial query-block streaming, the blockwise
+                          analogue of attn.py:95-147's query chunking, for
+                          sequence lengths whose full score matrix would not
+                          fit HBM.
+
+A Pallas flash-attention kernel (mdu_tpu.ops.pallas.flash_attention) plugs in
+behind the same signature for the hot path.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """softmax(q kᵀ · scale) v over [..., L, D] with fp32 softmax."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("...qk,...kd->...qd", probs.astype(v.dtype), v)
+
+
+def chunked_sdpa(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: Optional[float] = None,
+    q_chunk: int = 1024,
+) -> jnp.ndarray:
+    """Query-chunked attention — the score matrix is materialized for at most
+    ``q_chunk`` query rows at a time (serial `lax.map` over chunks), bounding
+    live memory at O(q_chunk · L) like ref attn.py:95-147."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    L, D = q.shape[-2], q.shape[-1]
+    if L <= q_chunk:
+        return sdpa(q, k, v, scale)
+    pad = (-L) % q_chunk
+    qp = jnp.pad(q, [(0, 0)] * (q.ndim - 2) + [(0, pad), (0, 0)])
+    n_chunks = qp.shape[-2] // q_chunk
+    qs = jnp.moveaxis(
+        qp.reshape(*qp.shape[:-2], n_chunks, q_chunk, D), -3, 0)
+
+    out = jax.lax.map(lambda qc: sdpa(qc, k, v, scale), qs)
+    out = jnp.moveaxis(out, 0, -3)                   # [..., n_chunks, q_chunk, Dv]
+    out = out.reshape(*out.shape[:-3], n_chunks * q_chunk, v.shape[-1])
+    return out[..., :L, :]
+
+
+def multi_head_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    num_heads: int,
+    q_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """[B, L, H*D] qkv -> attention output [B, L, H*D]."""
+    B, Lq, HD = q.shape
+    Lk = k.shape[1]
+    D = HD // num_heads
+
+    def split(x, L):
+        return x.reshape(B, L, num_heads, D).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, Lq), split(k, Lk), split(v, Lk)
+    if q_chunk is not None:
+        out = chunked_sdpa(qh, kh, vh, q_chunk=q_chunk)
+    else:
+        out = sdpa(qh, kh, vh)
+    return out.transpose(0, 2, 1, 3).reshape(B, Lq, HD)

@@ -1,0 +1,27 @@
+from .denoiser import (
+    DenoisedFn,
+    GuidedDenoiser,
+    ModelFn,
+    cfg_combine,
+    denoised_from_model,
+    scalings,
+)
+from .samplers import (
+    SAMPLERS,
+    STOCHASTIC_SAMPLERS,
+    get_sampler,
+    sample_ddim,
+    sample_dpmpp_2m,
+    sample_euler,
+    sample_euler_ancestral,
+    sample_heun,
+)
+from .schedule import NoiseSchedule, ddim_timesteps, sigmas_karras
+
+__all__ = [
+    "DenoisedFn", "GuidedDenoiser", "ModelFn", "cfg_combine",
+    "denoised_from_model", "scalings",
+    "SAMPLERS", "STOCHASTIC_SAMPLERS", "get_sampler", "sample_ddim",
+    "sample_dpmpp_2m", "sample_euler", "sample_euler_ancestral", "sample_heun",
+    "NoiseSchedule", "ddim_timesteps", "sigmas_karras",
+]

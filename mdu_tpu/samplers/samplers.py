@@ -1,0 +1,160 @@
+"""Samplers as pure `lax.scan` loops over a sigma sequence.
+
+Own replacements for the k-diffusion/CompVis samplers A1111 provides to the
+reference (SURVEY.md L0).  Each sampler takes a ``denoised_fn(x, sigma,
+step) -> denoised`` (built by samplers/denoiser.py, possibly wrapped by a
+tiled-diffusion combinator) and a descending sigma array ending in 0.
+
+Implemented: Euler, Euler a (ancestral), Heun, DPM++ 2M, DDIM (deterministic
+probability-flow update in VE coordinates; eta adds ancestral noise).
+MultiDiffusion/DemoFusion exclude UniPC in the reference
+(multidiffusion.py:13, demofusion.py:18); UniPC is intentionally absent.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+DenoisedStepFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _to_sigma_pairs(sigmas: jnp.ndarray):
+    return sigmas[:-1], sigmas[1:]
+
+
+def sample_euler(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
+                 key: Optional[jax.Array] = None) -> jnp.ndarray:
+    sig, sig_next = _to_sigma_pairs(sigmas)
+
+    def body(x, inp):
+        i, s, sn = inp
+        den = denoised_fn(x, s, i)
+        d = (x - den) / s
+        return x + d * (sn - s), None
+
+    steps = jnp.arange(sig.shape[0])
+    x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))
+    return x
+
+
+def sample_euler_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
+                           sigmas: jnp.ndarray, key: jax.Array,
+                           eta: float = 1.0) -> jnp.ndarray:
+    sig, sig_next = _to_sigma_pairs(sigmas)
+
+    def body(carry, inp):
+        x, k = carry
+        i, s, sn = inp
+        den = denoised_fn(x, s, i)
+        up = jnp.minimum(sn, eta * jnp.sqrt(jnp.maximum(sn**2 * (s**2 - sn**2) / s**2, 0.0)))
+        down = jnp.sqrt(jnp.maximum(sn**2 - up**2, 0.0))
+        d = (x - den) / s
+        x = x + d * (down - s)
+        k, sub = jax.random.split(k)
+        x = x + jax.random.normal(sub, x.shape, x.dtype) * up
+        return (x, k), None
+
+    steps = jnp.arange(sig.shape[0])
+    (x, _), _ = jax.lax.scan(body, (x, key), (steps, sig, sig_next))
+    return x
+
+
+def sample_heun(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
+                key: Optional[jax.Array] = None) -> jnp.ndarray:
+    sig, sig_next = _to_sigma_pairs(sigmas)
+
+    def body(x, inp):
+        i, s, sn = inp
+        den = denoised_fn(x, s, i)
+        d = (x - den) / s
+        x_euler = x + d * (sn - s)
+
+        def heun_correct(_):
+            den2 = denoised_fn(x_euler, sn, i)
+            d2 = (x_euler - den2) / sn
+            return x + 0.5 * (d + d2) * (sn - s)
+
+        x = jax.lax.cond(sn > 0, heun_correct, lambda _: x_euler, None)
+        return x, None
+
+    steps = jnp.arange(sig.shape[0])
+    x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))
+    return x
+
+
+def sample_dpmpp_2m(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
+                    key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """DPM-Solver++(2M), k-diffusion formulation."""
+    sig, sig_next = _to_sigma_pairs(sigmas)
+
+    def t_of(s):
+        return -jnp.log(jnp.maximum(s, 1e-10))
+
+    def body(carry, inp):
+        x, old_den, have_old = carry
+        i, s, sn = inp
+        den = denoised_fn(x, s, i)
+        t, tn = t_of(s), t_of(sn)
+        h = tn - t
+        ratio = sn / s
+
+        def first(_):
+            return ratio * x - jnp.expm1(-h) * den
+
+        def second(_):
+            h_last = t - t_of_prev
+            r = h_last / h
+            den_d = (1 + 1 / (2 * r)) * den - (1 / (2 * r)) * old_den
+            return ratio * x - jnp.expm1(-h) * den_d
+
+        # previous sigma for h_last: reconstruct from step index
+        t_of_prev = t_of(jnp.where(i > 0, sig[jnp.maximum(i - 1, 0)], s))
+        x_new = jax.lax.cond(
+            jnp.logical_and(have_old, sn > 0), second,
+            lambda _: jax.lax.cond(sn > 0, first, lambda __: den, None), None)
+        return (x_new, den, jnp.bool_(True)), None
+
+    steps = jnp.arange(sig.shape[0])
+    init = (x, jnp.zeros_like(x), jnp.bool_(False))
+    (x, _, _), _ = jax.lax.scan(body, init, (steps, sig, sig_next))
+    return x
+
+
+def sample_ddim(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
+                key: Optional[jax.Array] = None, eta: float = 0.0) -> jnp.ndarray:
+    """DDIM in VE coordinates: x' = den + sigma_next * eps_hat (deterministic
+    part); eta>0 mixes in ancestral noise like the classic eta-DDIM."""
+    if eta > 0.0 and key is not None:
+        return sample_euler_ancestral(denoised_fn, x, sigmas, key, eta)
+    sig, sig_next = _to_sigma_pairs(sigmas)
+
+    def body(x, inp):
+        i, s, sn = inp
+        den = denoised_fn(x, s, i)
+        eps = (x - den) / s
+        return den + sn * eps, None
+
+    steps = jnp.arange(sig.shape[0])
+    x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))
+    return x
+
+
+SAMPLERS = {
+    "Euler": sample_euler,
+    "Euler a": sample_euler_ancestral,
+    "Heun": sample_heun,
+    "DPM++ 2M": sample_dpmpp_2m,
+    "DDIM": sample_ddim,
+}
+
+# samplers whose updates need fresh noise each step
+STOCHASTIC_SAMPLERS = {"Euler a"}
+
+
+def get_sampler(name: str):
+    base = name.replace(" Karras", "")
+    if base not in SAMPLERS:
+        raise ValueError(f"unknown sampler '{name}'; available: {list(SAMPLERS)}")
+    return SAMPLERS[base]

@@ -1,0 +1,114 @@
+"""Sampler and schedule tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdu_tpu.samplers import (
+    GuidedDenoiser,
+    NoiseSchedule,
+    denoised_from_model,
+    sample_ddim,
+    sample_dpmpp_2m,
+    sample_euler,
+    sample_euler_ancestral,
+    sample_heun,
+    sigmas_karras,
+)
+
+
+def test_sd_sigma_table_endpoints():
+    s = NoiseSchedule().sigmas
+    # canonical SD-1.5 discrete sigma range
+    assert abs(s[0] - 0.0292) < 1e-3
+    assert abs(s[-1] - 14.61) < 0.02
+    assert np.all(np.diff(s) > 0)
+
+
+def test_sampling_sigmas_descend_to_zero():
+    sch = NoiseSchedule()
+    for kind in ("automatic", "karras"):
+        sig = sch.sampling_sigmas(20, kind)
+        assert len(sig) == 21
+        assert sig[-1] == 0.0
+        assert np.all(np.diff(sig) < 0)
+    k = sigmas_karras(10, 14.6, 0.03)
+    assert k[0] == pytest.approx(14.6) and k[-1] == 0.0
+
+
+def test_t_for_sigma_roundtrip():
+    sch = NoiseSchedule()
+    table = sch.sigmas
+    t = sch.t_for_sigma(jnp.asarray(table[[3, 100, 500, 999]]))
+    np.testing.assert_allclose(np.asarray(t), [3, 100, 500, 999], atol=1e-2)
+
+
+def test_img2img_steps():
+    sch = NoiseSchedule()
+    assert sch.img2img_steps(20, 0.75) == (20, 15)
+    assert sch.img2img_steps(20, 1.0) == (20, 19)
+
+
+@pytest.mark.parametrize("sampler", [
+    sample_euler, sample_heun, sample_dpmpp_2m, sample_ddim,
+])
+def test_perfect_denoiser_recovers_x0(sampler):
+    """With an oracle denoiser every sampler must land exactly on x0."""
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 8, 8)).astype(np.float32))
+    sig = jnp.asarray(NoiseSchedule().sampling_sigmas(8))
+    noisy = x0 + jax.random.normal(jax.random.PRNGKey(1), x0.shape) * sig[0]
+    out = sampler(lambda x, s, i: x0, noisy, sig)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+
+def test_ancestral_perfect_denoiser():
+    x0 = jnp.zeros((1, 4, 8, 8))
+    sig = jnp.asarray(NoiseSchedule().sampling_sigmas(8))
+    noisy = jax.random.normal(jax.random.PRNGKey(1), x0.shape) * sig[0]
+    out = sample_euler_ancestral(lambda x, s, i: x0, noisy, sig, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-4)
+
+
+def test_scalings_epsilon_parameterization():
+    """denoised = x - sigma*eps for the epsilon parameterization."""
+    sch = NoiseSchedule()
+    eps_val = 0.5
+
+    def model_fn(x, t, cond):
+        return jnp.full_like(x, eps_val)
+
+    den_fn = denoised_from_model(model_fn, sch)
+    x = jnp.ones((2, 4, 4, 4))
+    sigma = jnp.asarray(2.0)
+    den = den_fn(x, sigma, None)
+    np.testing.assert_allclose(np.asarray(den), 1.0 - 2.0 * eps_val, rtol=1e-6)
+
+
+def test_cfg_combine_batched():
+    sch = NoiseSchedule()
+
+    def model_fn(x, t, cond):
+        # cond is a per-sample scalar broadcast into the prediction
+        return jnp.zeros_like(x) + cond.reshape(-1, 1, 1, 1)
+
+    g = GuidedDenoiser(model_fn, sch, cond=jnp.asarray([1.0]),
+                       uncond=jnp.asarray([0.0]), cfg_scale=3.0)
+    x = jnp.zeros((1, 4, 4, 4))
+    sigma = jnp.asarray(1.0)
+    den = g(x, sigma)
+    # den = x - sigma * (eps_u + 3(eps_c - eps_u)) = -1 * (0 + 3*1) = -3
+    np.testing.assert_allclose(np.asarray(den), -3.0, rtol=1e-5)
+
+
+def test_v_prediction_scalings():
+    import dataclasses
+    sch = dataclasses.replace(NoiseSchedule(), prediction_type="v_prediction")
+
+    def model_fn(x, t, cond):
+        return jnp.zeros_like(x)           # v = 0 -> denoised = c_skip * x
+
+    den_fn = denoised_from_model(model_fn, sch)
+    x = jnp.ones((1, 4, 4, 4))
+    sigma = jnp.asarray(2.0)
+    den = den_fn(x, sigma, None)
+    np.testing.assert_allclose(np.asarray(den), 1.0 / 5.0, rtol=1e-5)
