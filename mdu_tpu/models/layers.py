@@ -82,7 +82,17 @@ class Linear(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 stats; pools stats across tiles when ctx given."""
+    """GroupNorm with fp32 stats and three statistics modes:
+
+    1. plain       — per-sample stats (no ctx, no injected stats);
+    2. tile-pooled — stats pooled across lockstep-batched tiles (ctx given);
+    3. injected    — fixed stats from a 'gn_stats' variable collection
+                     (Tiled-VAE fast mode, ref tilevae.py:465-505: estimate
+                     once on a downsampled image, then stream tiles).
+
+    Running with ``mutable=['gn_stats']`` *records* this layer's stats so a
+    later call can inject them.
+    """
 
     num_groups: int = 32
     eps: float = 1e-6
@@ -90,9 +100,27 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, ctx: Optional[TileContext] = None) -> jnp.ndarray:
+        from ..ops.groupnorm import apply_group_norm, group_stats
+
         C = x.shape[1]
         w = self.param("weight", nn.initializers.ones, (C,), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+
+        if self.has_variable("gn_stats", "stats"):
+            mean, var = self.get_variable("gn_stats", "stats")
+            B_est = mean.shape[0]
+            reps = x.shape[0] // B_est          # broadcast over tile axis
+            mean = jnp.tile(mean, (reps, 1))
+            var = jnp.tile(var, (reps, 1))
+            return apply_group_norm(x, self.num_groups, mean, var, w, b, self.eps).astype(self.dtype)
+
+        if self.is_mutable_collection("gn_stats"):
+            mean, meansq, _ = group_stats(x, self.num_groups)
+            var = jnp.maximum(meansq - mean * mean, 0.0)
+            self.sow("gn_stats", "stats", (mean, var),
+                     init_fn=lambda: (mean, var), reduce_fn=lambda old, new: new)
+            return apply_group_norm(x, self.num_groups, mean, var, w, b, self.eps).astype(self.dtype)
+
         return tile_group_norm(x, self.num_groups, w, b, ctx, self.eps).astype(self.dtype)
 
 

@@ -200,9 +200,12 @@ class UNet2DCondition(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, timesteps, context, added_cond: Optional[dict] = None):
+    def __call__(self, x, timesteps, context, added_cond: Optional[dict] = None,
+                 residuals: Optional[tuple] = None):
         """x [B,C,H,W]; timesteps [B]; context [B,L,D] text embeddings;
-        added_cond for SDXL: {'text_embeds': [B,1280], 'time_ids': [B,6]}."""
+        added_cond for SDXL: {'text_embeds': [B,1280], 'time_ids': [B,6]};
+        residuals: optional ControlNet outputs (down_residuals, mid_residual)
+        added to the skip connections and mid state (diffusers semantics)."""
         cfg = self.cfg
         bc = cfg.block_out_channels
         ted = cfg.time_embed_dim
@@ -234,10 +237,16 @@ class UNet2DCondition(nn.Module):
                 h = Downsample2D(ch, dtype=self.dtype, name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
+        if residuals is not None:
+            down_res, mid_res = residuals
+            skips = [s + r for s, r in zip(skips, down_res)]
+
         mid_depth = cfg.transformer_layers[-1] if cfg.transformer_layers[-1] > 0 else 1
         h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(h, temb)
         h = Transformer2D(cfg, bc[-1], mid_depth, dtype=self.dtype, name="mid_attn")(h, context)
         h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(h, temb)
+        if residuals is not None:
+            h = h + mid_res
 
         for i, ch in enumerate(reversed(bc)):
             level = len(bc) - 1 - i

@@ -63,6 +63,19 @@ def _resize_matrix(n_in: int, n_out: int, method: str) -> np.ndarray:
             for k in range(4):
                 idx = min(max(lo[i] - 1 + k, 0), n_in - 1)  # border replicate
                 W[i, idx] += taps[k]
+    elif method == "lanczos":
+        a = 3
+        src = (np.arange(n_out) + 0.5) * scale - 0.5
+        lo = np.floor(src).astype(np.int64)
+        frac = src - lo
+        for i in range(n_out):
+            offs = np.arange(-a + 1, a + 1)
+            t = offs - frac[i]
+            taps = np.sinc(t) * np.sinc(t / a)
+            taps = taps / taps.sum()
+            for k, o in enumerate(offs):
+                idx = min(max(lo[i] + o, 0), n_in - 1)
+                W[i, idx] += taps[k]
     else:
         raise ValueError(f"unknown resize method: {method}")
     return W.astype(np.float32)

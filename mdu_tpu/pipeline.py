@@ -1,0 +1,472 @@
+"""End-to-end generation pipelines: txt2img / img2img with tiled diffusion,
+tiled VAE, regional prompts, and tiled noise inversion.
+
+This layer owns what A1111's processing loop provided to the reference
+(SURVEY.md L0/L3): latent setup, seeded noise, sampler dispatch, VAE
+round-trips, and the orchestration the reference performs in
+scripts/tilediffusion.py:257-529 via hijacks — here it is plain composition:
+
+  plan    = plan_tiled_diffusion(...)                       (static geometry)
+  den_fn  = make_tiled_denoiser(plan, tile_denoise, ...)    (combinator)
+  latent  = sampler(den_fn, noise, sigmas)                  (pure scan)
+  image   = tiled_vae_decode(...)
+
+Everything between noise and image is jit-compiled as one program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
+from .models.unet import UNet2DCondition
+from .models.vae import AutoencoderKL, sample_from_moments
+from .ops.resize import resize_nchw
+from .samplers.denoiser import cfg_combine, denoised_from_model, scalings
+from .samplers.samplers import STOCHASTIC_SAMPLERS, get_sampler
+from .samplers.schedule import NoiseSchedule
+from .tiling.conds import Cond, concat_conds, tile_cond
+from .tiling.regions import compose_region_noise, resolve_seed
+from .tiling.schedulers import DiffusionTilePlan, make_tiled_denoiser, plan_tiled_diffusion
+from .tiling.tiled_vae import tiled_vae_decode, tiled_vae_encode_moments
+from .upscale import get_upscaler
+from .utils.bbox import BlendMode
+from .utils.grid import splitable
+from .utils.guided_filter import get_retouch_mask
+from .utils.image import grayscale_u8, image_to_tensor, tensor_to_image
+
+
+@dataclass
+class NoiseInverseCache:
+    """One cached (x0, xt) latent pair (ref utils.py:42,
+    abstractdiffusion.py:627-646 — '~16 MB for an 8K image')."""
+
+    x0: np.ndarray
+    xt: np.ndarray
+    steps: int
+    retouch: float
+    prompt_key: str
+
+    def matches(self, x0: jnp.ndarray, steps: int, retouch: float, prompt_key: str) -> bool:
+        return (
+            self.steps == steps
+            and abs(self.retouch - retouch) < 0.01
+            and self.prompt_key == prompt_key
+            and self.x0.shape == x0.shape
+            and float(np.abs(self.x0 - np.asarray(x0)).sum()) < 100  # ref :635
+        )
+
+
+@dataclass
+class GenerationResult:
+    images: np.ndarray                 # uint8 [B, H, W, 3]
+    latents: jnp.ndarray
+    seed: int
+    info: Dict[str, Any]
+
+
+class DiffusionPipeline:
+    """Stable-Diffusion pipeline over explicit cond pytrees.
+
+    ``cond``/``uncond`` follow tiling/conds.py: {'crossattn', 'concat',
+    'vector', 'control'}.  The text layer (mdu_tpu.text) builds them from
+    prompt strings; tests pass embeddings directly.
+    """
+
+    def __init__(
+        self,
+        unet: UNet2DCondition,
+        unet_params: Any,
+        vae: AutoencoderKL,
+        vae_params: Any,
+        schedule: Optional[NoiseSchedule] = None,
+        controlnet=None,
+        controlnet_params: Any = None,
+    ):
+        self.unet = unet
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.schedule = schedule or NoiseSchedule()
+        self.controlnet = controlnet
+        self.controlnet_params = controlnet_params
+        self.noise_inverse_cache: Optional[NoiseInverseCache] = None
+
+    # ------------------------------------------------------------- model fns
+
+    def _model_fn(self):
+        unet, params = self.unet, self.unet_params
+        is_xl = unet.cfg.addition_embed_type == "text_time"
+        controlnet, cn_params = self.controlnet, self.controlnet_params
+
+        def fn(x, t, cond: Cond):
+            xin = x
+            cc = cond.get("concat")
+            if cc is not None and cc.shape[-2:] == x.shape[-2:] and cc.shape[1] > 0:
+                xin = jnp.concatenate([x, cc.astype(x.dtype)], axis=1)
+            added = None
+            if is_xl:
+                B = x.shape[0]
+                vec = cond.get("vector")
+                tids = cond.get("time_ids")
+                if tids is None:
+                    tids = jnp.ones((B, unet.cfg.num_time_ids), jnp.float32)
+                added = {"text_embeds": vec, "time_ids": tids}
+            residuals = None
+            hints = cond.get("control")
+            if controlnet is not None and hints:
+                residuals = controlnet.apply(
+                    cn_params, xin, t, cond["crossattn"], hints[0], added)
+            return unet.apply(params, xin, t, cond["crossattn"], added,
+                              residuals=residuals)
+
+        return fn
+
+    # --------------------------------------------------- denoiser assembly
+
+    def _make_denoised_fn(
+        self,
+        plan: Optional[DiffusionTilePlan],
+        cond: Cond,
+        uncond: Optional[Cond],
+        cfg_scale: float,
+        region_conds: Sequence[Tuple[Cond, Optional[Cond]]] = (),
+        latent_hw: Optional[Tuple[int, int]] = None,
+    ):
+        den = denoised_from_model(self._model_fn(), self.schedule)
+
+        def guided(x, sigma, c, u):
+            B = x.shape[0]
+            s = jnp.broadcast_to(jnp.atleast_1d(sigma), (B,))
+            if u is None or cfg_scale == 1.0:
+                return den(x, s, c)
+            x2 = jnp.concatenate([x, x], axis=0)
+            d = den(x2, jnp.concatenate([s, s]), concat_conds(u, c))
+            du, dc = jnp.split(d, 2, axis=0)
+            return cfg_combine(du, dc, cfg_scale)
+
+        if plan is None:
+            hw = latent_hw
+
+            def denoised_fn(x, sigma, step):
+                return guided(x, sigma, cond, uncond)
+
+            return denoised_fn
+
+        hw = (plan.h, plan.w)
+
+        def tile_denoise(flat, sigma, step, bboxes, batch_i):
+            c = tile_cond(cond, bboxes, hw)
+            u = tile_cond(uncond, bboxes, hw) if uncond is not None else None
+            return guided(flat, sigma, c, u)
+
+        def region_denoise(xt, sigma, step, i):
+            rc, ru = region_conds[i]
+            c = tile_cond(rc, [plan.regions[i]], hw)
+            u = tile_cond(ru, [plan.regions[i]], hw) if ru is not None else None
+            return guided(xt, sigma, c, u)
+
+        def org_fn(x, sigma, step):
+            return guided(x, sigma, cond, uncond)
+
+        return make_tiled_denoiser(plan, tile_denoise,
+                                   region_denoise if plan.regions else None, org_fn)
+
+    def _plan(self, td: Optional[TiledDiffusionConfig], h: int, w: int):
+        if td is None or not td.enabled:
+            return None
+        if not (splitable(w, h, td.tile_w, td.tile_h, td.overlap) or td.regions
+                or td.noise_inverse):
+            return None  # ref tilediffusion.py:309-317: nothing to tile
+        return plan_tiled_diffusion(
+            td.method, h, w, tile_h=td.tile_h, tile_w=td.tile_w,
+            overlap=td.overlap, tile_bs=td.tile_bs,
+            regions=td.regions, draw_background=td.draw_background)
+
+    # --------------------------------------------------------------- txt2img
+
+    def txt2img(
+        self,
+        cond: Cond,
+        uncond: Optional[Cond],
+        width: int = 512,
+        height: int = 512,
+        sampler: Optional[SamplerConfig] = None,
+        seed: int = 0,
+        tiled_diffusion: Optional[TiledDiffusionConfig] = None,
+        tiled_vae: Optional[TiledVAEConfig] = None,
+        region_conds: Sequence[Tuple[Cond, Optional[Cond]]] = (),
+        decode: bool = True,
+    ) -> GenerationResult:
+        sp = sampler or SamplerConfig()
+        h, w = height // 8, width // 8
+        plan = self._plan(tiled_diffusion, h, w)
+
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(key, (1, self.unet.cfg.out_channels, h, w), jnp.float32)
+        if plan is not None and plan.regions:
+            seeds = [resolve_seed(r.seed, jax.random.fold_in(key, 1000 + i))
+                     for i, r in enumerate(plan.regions)]
+            noise = compose_region_noise(noise, plan.regions, seeds)
+
+        sigmas = jnp.asarray(self.schedule.sampling_sigmas(sp.steps, sp.schedule))
+        den_fn = self._make_denoised_fn(plan, cond, uncond, sp.cfg_scale,
+                                        region_conds, latent_hw=(h, w))
+        sampler_fn = get_sampler(sp.name)
+        x = noise * sigmas[0]
+        skey = jax.random.fold_in(key, 7)
+
+        def run(x):
+            if sp.name in STOCHASTIC_SAMPLERS:
+                return sampler_fn(den_fn, x, sigmas, skey)
+            return sampler_fn(den_fn, x, sigmas)
+
+        latents = jax.jit(run)(x)
+        images = self._decode(latents, tiled_vae) if decode else None
+        info = self._info(sp, tiled_diffusion, seed)
+        return GenerationResult(images, latents, seed, info)
+
+    # --------------------------------------------------------------- img2img
+
+    def img2img(
+        self,
+        image: np.ndarray,
+        cond: Cond,
+        uncond: Optional[Cond],
+        sampler: Optional[SamplerConfig] = None,
+        seed: int = 0,
+        tiled_diffusion: Optional[TiledDiffusionConfig] = None,
+        tiled_vae: Optional[TiledVAEConfig] = None,
+        region_conds: Sequence[Tuple[Cond, Optional[Cond]]] = (),
+        inversion_cond: Optional[Cond] = None,
+        decode: bool = True,
+    ) -> GenerationResult:
+        sp = sampler or SamplerConfig()
+        td = tiled_diffusion
+
+        x_img = image_to_tensor(image) if isinstance(image, np.ndarray) else image
+        if td is not None and td.upscaler and td.upscaler != "None":
+            x_img = get_upscaler(td.upscaler)(x_img, td.scale_factor)
+
+        H, W = x_img.shape[-2], x_img.shape[-1]
+        h, w = H // 8, W // 8
+        x_img = x_img[:, :, :h * 8, :w * 8]
+
+        moments = self._encode(x_img, tiled_vae)
+        key = jax.random.PRNGKey(seed)
+        init_latent = sample_from_moments(moments, jax.random.fold_in(key, 3))
+        init_latent = init_latent * self.vae.cfg.scaling_factor
+
+        plan = self._plan(td, h, w)
+        noise = jax.random.normal(key, init_latent.shape, jnp.float32)
+        if plan is not None and plan.regions:
+            seeds = [resolve_seed(r.seed, jax.random.fold_in(key, 1000 + i))
+                     for i, r in enumerate(plan.regions)]
+            noise = compose_region_noise(noise, plan.regions, seeds)
+
+        # truncated schedule (A1111 setup_img2img_steps)
+        steps, t_enc = self.schedule.img2img_steps(sp.steps, sp.denoising_strength)
+        all_sigmas = jnp.asarray(self.schedule.sampling_sigmas(steps, sp.schedule))
+        sigmas = all_sigmas[steps - t_enc - 1:]
+
+        if td is not None and td.noise_inverse:
+            noise = self._noise_inverse_combined_noise(
+                x_img, init_latent, noise, td, plan,
+                inversion_cond if inversion_cond is not None else cond,
+                sigma0=sigmas[0])
+
+        den_fn = self._make_denoised_fn(plan, cond, uncond, sp.cfg_scale,
+                                        region_conds, latent_hw=(h, w))
+        sampler_fn = get_sampler(sp.name)
+        x = init_latent + noise * sigmas[0]
+        skey = jax.random.fold_in(key, 7)
+
+        def run(x):
+            if sp.name in STOCHASTIC_SAMPLERS:
+                return sampler_fn(den_fn, x, sigmas, skey)
+            return sampler_fn(den_fn, x, sigmas)
+
+        latents = jax.jit(run)(x)
+        images = self._decode(latents, tiled_vae) if decode else None
+        info = self._info(sp, td, seed)
+        return GenerationResult(images, latents, seed, info)
+
+    # ------------------------------------------------------- noise inversion
+
+    def _noise_inverse_combined_noise(
+        self, x_img, init_latent, noise, td: TiledDiffusionConfig,
+        plan: Optional[DiffusionTilePlan], inv_cond: Cond, sigma0,
+    ) -> jnp.ndarray:
+        """ref abstractdiffusion.py:604-679: invert init latent to noise,
+        blend with fresh noise through the guided-filter renoise mask."""
+        prompt_key = str(np.asarray(
+            jax.tree.leaves(inv_cond)[0]).sum())  # cheap content hash
+        cache = self.noise_inverse_cache
+        if cache is not None and cache.matches(init_latent, td.noise_inverse_steps,
+                                               td.noise_inverse_retouch, prompt_key):
+            xt = jnp.asarray(cache.xt)
+        else:
+            xt = self.noise_inversion(init_latent, inv_cond, td.noise_inverse_steps,
+                                      td.noise_inverse_retouch, plan)
+            self.noise_inverse_cache = NoiseInverseCache(
+                np.asarray(init_latent), np.asarray(xt), td.noise_inverse_steps,
+                td.noise_inverse_retouch, prompt_key)
+
+        inverse_noise = xt - init_latent / sigma0
+
+        if td.noise_inverse_renoise_strength <= 0:
+            return inverse_noise
+
+        gray = grayscale_u8(
+            tensor_to_image(np.asarray(x_img))[0])
+        detail = get_retouch_mask(gray, td.noise_inverse_renoise_kernel)
+        m = 1.0 - resize_nchw(jnp.asarray(detail)[None, None],
+                              noise.shape[-2:], "linear")
+        m = jnp.clip(m * td.noise_inverse_renoise_strength, 0.0, 1.0)
+
+        if plan is not None and not plan.draw_background and plan.regions:
+            # regional reweighting (ref :655-673)
+            H, W = noise.shape[-2:]
+            bg_cnt = jnp.zeros((1, 1, H, W))
+            fg = jnp.zeros_like(noise)
+            fg_w = jnp.zeros((1, 1, H, W))
+            fg_cnt = jnp.zeros((1, 1, H, W))
+            from .utils.weights import feather_mask as _fm
+            for r in plan.regions:
+                sl = (slice(None), slice(None), slice(r.y, r.y + r.h), slice(r.x, r.x + r.w))
+                if r.blend_mode == BlendMode.BACKGROUND:
+                    bg_cnt = bg_cnt.at[sl].add(1.0)
+                else:
+                    fg = fg.at[sl].add(noise[sl])
+                    fg_w = fg_w.at[sl].add(jnp.asarray(_fm(r.w, r.h, r.feather_ratio))[None, None])
+                    fg_cnt = fg_cnt.at[sl].add(1.0)
+            bg_noise = jnp.where(bg_cnt > 0, noise, 0.0)
+            fg = jnp.where(fg_cnt > 0, fg / fg_cnt, 0.0)
+            fg_w = jnp.where(fg_cnt > 0, fg_w / fg_cnt, 0.0)
+            noise = bg_noise * (1 - fg_w) + fg * fg_w
+
+        return ((1 - m) * inverse_noise + m * noise) / jnp.sqrt(m**2 + (1 - m)**2)
+
+    def noise_inversion(
+        self,
+        init_latent: jnp.ndarray,
+        cond: Cond,
+        steps: int,
+        retouch: float = 1.0,
+        plan: Optional[DiffusionTilePlan] = None,
+    ) -> jnp.ndarray:
+        """Tiled reverse-Euler inversion (ref find_noise_for_image_sigma_adjustment,
+        abstractdiffusion.py:683-742; per-tile model fn ref
+        multidiffusion.py:220-243).  Uses the positive cond only, no CFG."""
+        model_fn = self._model_fn()
+        sch = self.schedule
+
+        def eps_tile(flat, sigma, step, bboxes, batch_i):
+            hw = (plan.h, plan.w)
+            c = tile_cond(cond, bboxes, hw)
+            return self._raw_eps(model_fn, flat, sigma, c, retouch)
+
+        def eps_region(xt, sigma, step, i):
+            c = tile_cond(cond, [plan.regions[i]], (plan.h, plan.w))
+            return self._raw_eps(model_fn, xt, sigma, c, retouch)
+
+        def eps_org(x, sigma, step):
+            return self._raw_eps(model_fn, x, sigma, cond, retouch)
+
+        if plan is not None:
+            tiled_eps = make_tiled_denoiser(plan, eps_tile,
+                                            eps_region if plan.regions else None,
+                                            eps_org)
+        else:
+            tiled_eps = eps_org
+
+        # ascending sigmas [sigma_min..sigma_max]; ref flips get_sigmas(steps)
+        sig_desc = sch.sampling_sigmas(steps, "automatic")[:-1]     # drop 0
+        sig_asc = jnp.asarray(sig_desc[::-1].copy())                # [steps]
+
+        def body(x, inp):
+            i, s, s_prev = inp
+            _, c_out, c_in = scalings(s, sch.prediction_type)
+            eps = tiled_eps(x * c_in, s, steps - 1 - i)
+            denoised = x + eps * c_out            # ref :726 (eps-form even for v)
+            d = (x - denoised) / s
+            dt = s - s_prev
+            return x + d * dt, None
+
+        prev = jnp.concatenate([jnp.zeros((1,)), sig_asc[:-1]])
+        steps_arr = jnp.arange(steps)
+
+        def run(x):
+            out, _ = jax.lax.scan(body, x, (steps_arr, sig_asc, prev))
+            return out / sig_asc[-1]
+
+        return jax.jit(run)(init_latent)
+
+    def _raw_eps(self, model_fn, x, sigma, cond, retouch):
+        t = self.schedule.t_for_sigma(jnp.atleast_1d(sigma)) / retouch
+        B = x.shape[0]
+        t_b = jnp.broadcast_to(t, (B,))
+        return model_fn(x, t_b, cond)
+
+    # ------------------------------------------------------------------- VAE
+
+    def _decode(self, latents: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> np.ndarray:
+        z = latents / self.vae.cfg.scaling_factor
+        if tv is not None and tv.enabled:
+            img = tiled_vae_decode(self.vae, self.vae_params, z,
+                                   tile_size=tv.decoder_tile_size,
+                                   fast=tv.fast_decoder, tile_batch=tv.tile_batch)
+        else:
+            img = self.vae.apply(self.vae_params, z, method=self.vae.decode)
+        return tensor_to_image(img)
+
+    def _encode(self, x_img: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> jnp.ndarray:
+        if tv is not None and tv.enabled:
+            return tiled_vae_encode_moments(self.vae, self.vae_params, x_img,
+                                            tile_size=tv.encoder_tile_size,
+                                            fast=tv.fast_encoder,
+                                            tile_batch=tv.tile_batch)
+        return self.vae.apply(self.vae_params, x_img, method=self.vae.encode_moments)
+
+    # ------------------------------------------------------------------ misc
+
+    def _info(self, sp: SamplerConfig, td: Optional[TiledDiffusionConfig], seed: int):
+        """PNG-info style metadata (ref tilediffusion.py:321-342)."""
+        info: Dict[str, Any] = {
+            "Sampler": sp.name, "Steps": sp.steps, "CFG scale": sp.cfg_scale,
+            "Seed": seed,
+        }
+        if td is not None and td.enabled:
+            block = {
+                "Method": td.method,
+                "Tile tile width": td.tile_w, "Tile tile height": td.tile_h,
+                "Tile Overlap": td.overlap, "Tile batch size": td.tile_bs,
+            }
+            if td.upscaler and td.upscaler != "None":
+                block["Upscaler"] = td.upscaler
+                block["Upscale factor"] = td.scale_factor
+            if td.noise_inverse:
+                block.update({
+                    "NoiseInv": True, "NoiseInv Steps": td.noise_inverse_steps,
+                    "NoiseInv Retouch": td.noise_inverse_retouch,
+                    "NoiseInv Renoise strength": td.noise_inverse_renoise_strength,
+                    "NoiseInv Kernel size": td.noise_inverse_renoise_kernel,
+                })
+            if td.regions:
+                block["Region control"] = {
+                    f"Region {i+1}": dataclasses.asdict(r)
+                    for i, r in enumerate(td.regions)
+                }
+            info["Tiled Diffusion"] = block
+        return info
+
+    def free_cache(self):
+        """Clear the noise-inversion cache (ref 'Free GPU' button,
+        tilediffusion.py:591-593)."""
+        self.noise_inverse_cache = None

@@ -1,0 +1,55 @@
+"""Conditioning pytrees and per-tile cond slicing.
+
+The reference threads A1111's CondDict through tile batching with manual
+tcond/icond/vcond accessors (ref abstractdiffusion.py:119-168,
+multidiffusion.py:112-129).  Here conditioning is one explicit pytree and
+slicing is generic over its leaves:
+
+  cond = {
+    'crossattn': [B, L, D]        text embeddings
+    'concat':    [B, C, h, w]     image conditioning (inpaint/img2img mask),
+                 or [B, C, 1, 1]  txt2img dummy
+    'vector':    [B, D]           SDXL pooled+size vector (optional)
+    'control':   [[B, C, H, W]]   ControlNet hints, pixel space (optional)
+  }
+
+Rules per leaf when building a tile batch of K tiles (tile-major):
+  * spatial == latent canvas  -> slice the tile bbox   (icond, ref :121-122)
+  * spatial == pixel canvas   -> slice bbox * 8        (hints, ref :501)
+  * otherwise                 -> repeat K times        (tcond/vcond, ref :117-128)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.bbox import BBox
+
+Cond = Dict[str, Any]
+LATENT_TO_PIXEL = 8
+
+
+def _slice_leaf(leaf: jnp.ndarray, bboxes: Sequence[BBox], latent_hw: Tuple[int, int]):
+    h, w = latent_hw
+    if leaf.ndim == 4 and leaf.shape[2:] == (h, w):
+        parts = [leaf[:, :, b.y:b.y + b.h, b.x:b.x + b.w] for b in bboxes]
+        return jnp.concatenate(parts, axis=0)
+    if leaf.ndim == 4 and leaf.shape[2:] == (h * LATENT_TO_PIXEL, w * LATENT_TO_PIXEL):
+        f = LATENT_TO_PIXEL
+        parts = [leaf[:, :, b.y * f:(b.y + b.h) * f, b.x * f:(b.x + b.w) * f] for b in bboxes]
+        return jnp.concatenate(parts, axis=0)
+    return jnp.concatenate([leaf] * len(bboxes), axis=0)
+
+
+def tile_cond(cond: Optional[Cond], bboxes: Sequence[BBox],
+              latent_hw: Tuple[int, int]) -> Optional[Cond]:
+    """Build the cond pytree for a tile batch (tile-major on the batch axis)."""
+    if cond is None:
+        return None
+    return jax.tree.map(lambda leaf: _slice_leaf(leaf, bboxes, latent_hw), cond)
+
+
+def concat_conds(a: Cond, b: Cond) -> Cond:
+    return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)

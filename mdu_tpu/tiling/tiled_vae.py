@@ -1,0 +1,223 @@
+"""Tiled VAE — fixed-memory encode/decode of huge images.
+
+TPU-native re-design of ref scripts/tilevae.py.  The reference walks a
+per-tile task queue, suspending at every GroupNorm to aggregate statistics
+and zigzag-swapping tiles between GPU and CPU (tilevae.py:107-195, 581-652).
+Here the same computation is expressed three ways, all jit-compiled:
+
+  * exact mode    — all tiles run *lockstep-batched* on the leading axis;
+                    every GroupNorm pools masked statistics across the tile
+                    axis inline (ops/tile_context.py).  One forward pass, no
+                    queue, no host swaps; exact pooled moments (E[x²] form)
+                    instead of the reference's biased-var averaging.
+  * fast mode     — GroupNorm stats are estimated once from a
+                    nearest-exact-downsampled whole image with the
+                    reference's distribution-shift correction
+                    (tilevae.py:542-563), then tiles stream through the
+                    network independently in fixed-size chunks
+                    (`lax.map`) with the stats injected — bounded HBM at
+                    any resolution.
+  * single-pass   — image small enough: bypass tiling (tilevae.py:382-384).
+
+Tile planning mirrors split_tiles (tilevae.py:405-462): interior halo pad 11
+(decoder) / 32 (encoder), auto-shrunk tile sizes rounded to multiples of 32,
+owned regions extended to the canvas border for edge tiles.  Unlike the
+reference, every padded input tile has the SAME shape (edge windows slide
+inward), so XLA compiles one program for all tiles.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.vae import AutoencoderKL
+from ..ops.resize import resize_nchw
+from ..ops.tile_context import TileContext
+from ..utils.bbox import BBox
+
+ENCODER_PAD = 32   # pixel-space halo (ref tilevae.py:373)
+DECODER_PAD = 11   # latent-space halo
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class VAETilePlan:
+    """Static tile geometry for one (H, W, tile_size, pad) combination."""
+
+    h: int
+    w: int
+    pad: int
+    tile_h: int                     # owned-region nominal size
+    tile_w: int
+    in_h: int                       # uniform padded input tile size
+    in_w: int
+    in_origins: Tuple[Tuple[int, int], ...]   # (y, x) of each padded tile
+    owned: Tuple[Tuple[int, int, int, int], ...]  # (y0, y1, x0, x1) global owned
+
+    @property
+    def num_tiles(self) -> int:
+        return len(self.in_origins)
+
+    def local_masks(self) -> np.ndarray:
+        """[T, 1, in_h, in_w] 0/1 owned-region masks in tile-local coords."""
+        m = np.zeros((self.num_tiles, 1, self.in_h, self.in_w), np.float32)
+        for t, ((oy, ox), (y0, y1, x0, x1)) in enumerate(zip(self.in_origins, self.owned)):
+            m[t, 0, y0 - oy:y1 - oy, x0 - ox:x1 - ox] = 1.0
+        return m
+
+
+def plan_vae_tiles(h: int, w: int, tile_size: int, pad: int) -> Optional[VAETilePlan]:
+    """Split an (h, w) canvas; None when tiling is unnecessary
+    (ref tilevae.py:382: max(H, W) <= pad*2 + tile_size)."""
+    if max(h, w) <= pad * 2 + tile_size:
+        return None
+
+    nth = max(1, math.ceil((h - 2 * pad) / tile_size))
+    ntw = max(1, math.ceil((w - 2 * pad) / tile_size))
+    # auto-shrunk real tile size, rounded UP to a multiple of 32 so that tile
+    # origins stay aligned for mask subsampling through 3 stride-2 levels
+    rth = min(_round_up(math.ceil((h - 2 * pad) / nth), 32), _round_up(h, 32))
+    rtw = min(_round_up(math.ceil((w - 2 * pad) / ntw), 32), _round_up(w, 32))
+
+    in_h = min(rth + 2 * pad, h)
+    in_w = min(rtw + 2 * pad, w)
+
+    origins: List[Tuple[int, int]] = []
+    owned: List[Tuple[int, int, int, int]] = []
+    for i in range(nth):
+        y0 = pad + i * rth
+        y1 = min(pad + (i + 1) * rth, h)
+        oy0 = y0 if i > 0 else 0                   # extend first/last to border
+        oy1 = y1 if i < nth - 1 else h
+        ty = min(max(0, y0 - pad), h - in_h)
+        for j in range(ntw):
+            x0 = pad + j * rtw
+            x1 = min(pad + (j + 1) * rtw, w)
+            ox0 = x0 if j > 0 else 0
+            ox1 = x1 if j < ntw - 1 else w
+            tx = min(max(0, x0 - pad), w - in_w)
+            origins.append((ty, tx))
+            owned.append((oy0, oy1, ox0, ox1))
+    return VAETilePlan(h, w, pad, rth, rtw, in_h, in_w,
+                       tuple(origins), tuple(owned))
+
+
+def _gather_plan_tiles(x: jnp.ndarray, plan: VAETilePlan) -> jnp.ndarray:
+    """[B,C,H,W] -> [T*B, C, in_h, in_w] (tile-major)."""
+    B, C = x.shape[0], x.shape[1]
+    tiles = [
+        jax.lax.slice(x, (0, 0, oy, ox), (B, C, oy + plan.in_h, ox + plan.in_w))
+        for (oy, ox) in plan.in_origins
+    ]
+    return jnp.concatenate(tiles, axis=0)
+
+
+def _scatter_owned(tiles_out: jnp.ndarray, plan: VAETilePlan, scale_num: int,
+                   scale_den: int, out_channels: int, batch: int) -> jnp.ndarray:
+    """Crop owned regions from [T*B, C, oh, ow] tiles and place them into the
+    output canvas (ref crop_valid_region, tilevae.py:248-259)."""
+    H_out = plan.h * scale_num // scale_den
+    W_out = plan.w * scale_num // scale_den
+    out = jnp.zeros((batch, out_channels, H_out, W_out), tiles_out.dtype)
+    for t, ((oy, ox), (y0, y1, x0, x1)) in enumerate(zip(plan.in_origins, plan.owned)):
+        s = lambda v: v * scale_num // scale_den
+        tile = tiles_out[t * batch:(t + 1) * batch]
+        region = tile[:, :, s(y0 - oy):s(y1 - oy), s(x0 - ox):s(x1 - ox)]
+        out = out.at[:, :, s(y0):s(y1), s(x0):s(x1)].set(region)
+    return out
+
+
+def _estimate_stats(vae: AutoencoderKL, params: Any, x: jnp.ndarray,
+                    tile_size: int, method) -> Any:
+    """Fast-mode stats from a nearest-exact downsampled whole image with the
+    reference's distribution-shift fix (tilevae.py:542-563)."""
+    B, C, H, W = x.shape
+    scale = tile_size / max(H, W)
+    hw = (max(8, int(H * scale)) // 8 * 8, max(8, int(W * scale)) // 8 * 8)
+    xd = resize_nchw(x, hw, "nearest")
+    std_o = jnp.std(x, axis=(0, 2, 3), keepdims=True)
+    mean_o = jnp.mean(x, axis=(0, 2, 3), keepdims=True)
+    std_n = jnp.std(xd, axis=(0, 2, 3), keepdims=True)
+    mean_n = jnp.mean(xd, axis=(0, 2, 3), keepdims=True)
+    xd = (xd - mean_n) / (std_n + 1e-12) * std_o + mean_o
+    xd = jnp.clip(xd, jnp.min(x), jnp.max(x))
+    _, mut = vae.apply(params, xd, method=method, mutable=["gn_stats"])
+    return mut["gn_stats"]
+
+
+def tiled_vae_decode(
+    vae: AutoencoderKL, params: Any, z: jnp.ndarray,
+    tile_size: int = 96, fast: bool = False, tile_batch: int = 8,
+    reference_pooling: bool = False,
+) -> jnp.ndarray:
+    """Decode [B,4,h,w] latents -> [B,3,8h,8w] images in fixed memory."""
+    B = z.shape[0]
+    plan = plan_vae_tiles(z.shape[2], z.shape[3], tile_size, DECODER_PAD)
+    if plan is None:
+        return vae.apply(params, z, method=vae.decode)
+
+    tiles = _gather_plan_tiles(z, plan)
+    if fast:
+        stats = _estimate_stats(vae, params, z, tile_size, vae.decode)
+        out_tiles = _map_tiles_with_stats(vae, params, stats, tiles, plan,
+                                          vae.decode, tile_batch, B)
+    else:
+        ctx = TileContext(plan.num_tiles, (plan.in_h, plan.in_w),
+                          jnp.asarray(plan.local_masks()),
+                          reference_pooling=reference_pooling)
+        out_tiles = vae.apply(params, tiles, ctx, method=vae.decode)
+    return _scatter_owned(out_tiles, plan, 8, 1, vae.cfg.out_channels, B)
+
+
+def tiled_vae_encode_moments(
+    vae: AutoencoderKL, params: Any, x: jnp.ndarray,
+    tile_size: int = 1536, fast: bool = False, tile_batch: int = 8,
+    reference_pooling: bool = False,
+) -> jnp.ndarray:
+    """Encode [B,3,H,W] images -> [B,8,H/8,W/8] gaussian moments."""
+    B = x.shape[0]
+    plan = plan_vae_tiles(x.shape[2], x.shape[3], tile_size, ENCODER_PAD)
+    if plan is None:
+        return vae.apply(params, x, method=vae.encode_moments)
+
+    tiles = _gather_plan_tiles(x, plan)
+    if fast:
+        stats = _estimate_stats(vae, params, x, tile_size, vae.encode_moments)
+        out_tiles = _map_tiles_with_stats(vae, params, stats, tiles, plan,
+                                          vae.encode_moments, tile_batch, B)
+    else:
+        ctx = TileContext(plan.num_tiles, (plan.in_h, plan.in_w),
+                          jnp.asarray(plan.local_masks()),
+                          reference_pooling=reference_pooling)
+        out_tiles = vae.apply(params, tiles, ctx, method=vae.encode_moments)
+    return _scatter_owned(out_tiles, plan, 1, 8, 2 * vae.cfg.latent_channels, B)
+
+
+def _map_tiles_with_stats(vae, params, stats, tiles, plan, method, tile_batch, B):
+    """Stream tile chunks through the network with injected GroupNorm stats —
+    serial `lax.map`, so live memory is one chunk's activations."""
+    TB = tiles.shape[0]
+    chunk = max(1, min(tile_batch * B, TB))
+    pad = (-TB) % chunk
+    if pad:
+        tiles = jnp.concatenate([tiles, jnp.repeat(tiles[-1:], pad, axis=0)], axis=0)
+    n_chunks = tiles.shape[0] // chunk
+    chunks = tiles.reshape(n_chunks, chunk, *tiles.shape[1:])
+
+    variables = dict(params)
+    variables["gn_stats"] = stats
+
+    def one(c):
+        return vae.apply(variables, c, method=method)
+
+    out = jax.lax.map(one, chunks)
+    out = out.reshape(n_chunks * chunk, *out.shape[2:])
+    return out[:TB]

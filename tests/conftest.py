@@ -18,6 +18,9 @@ import pytest  # noqa: E402
 # persistent compile cache: repeated test runs skip XLA compilation
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# XLA CPU's default conv/dot precision is reduced and varies with batch size;
+# tests compare tiled vs untiled paths numerically, so pin full precision
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

@@ -1,0 +1,133 @@
+"""End-to-end pipeline integration on tiny models (SURVEY.md §4 bar:
+CPU-runnable tiled generation; tiled == untiled in the degenerate case)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
+from mdu_tpu.models import (
+    AutoencoderKL,
+    UNet2DCondition,
+    random_params,
+    tiny_unet_config,
+    tiny_vae_config,
+)
+from mdu_tpu.pipeline import DiffusionPipeline
+from mdu_tpu.utils.bbox import BlendMode, RegionSpec
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    ucfg = tiny_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(tiny_vae_config())
+    up = random_params(unet, 0, jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
+                       jnp.zeros((1, 7, ucfg.cross_attention_dim)))
+    vp = random_params(vae, 1, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
+    return DiffusionPipeline(unet, up, vae, vp)
+
+
+def _cond(key, dim=16, L=7):
+    return {"crossattn": jax.random.normal(jax.random.PRNGKey(key), (1, L, dim)) * 0.1}
+
+
+SAMPLER = SamplerConfig(steps=3)
+TD = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=16, tile_h=16,
+                          overlap=8, tile_bs=2)
+TV = TiledVAEConfig(encoder_tile_size=96, decoder_tile_size=16, fast_decoder=False,
+                    fast_encoder=False)
+
+
+def test_txt2img_tiled_panorama(pipe):
+    """256x128 px panorama => 32x16 latent, 16px tiles."""
+    res = pipe.txt2img(_cond(0), _cond(1), width=256, height=128,
+                       sampler=SAMPLER, seed=42, tiled_diffusion=TD,
+                       tiled_vae=TV)
+    assert res.images.shape == (1, 128, 256, 3)
+    assert np.isfinite(np.asarray(res.latents)).all()
+    assert res.info["Tiled Diffusion"]["Method"] == Method.MULTI_DIFF
+
+
+def test_txt2img_deterministic(pipe):
+    a = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=42,
+                     tiled_diffusion=TD, decode=False)
+    b = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=42,
+                     tiled_diffusion=TD, decode=False)
+    np.testing.assert_array_equal(np.asarray(a.latents), np.asarray(b.latents))
+    c = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=43,
+                     tiled_diffusion=TD, decode=False)
+    assert np.abs(np.asarray(a.latents) - np.asarray(c.latents)).max() > 1e-3
+
+
+def test_untiled_equals_disabled_tiling(pipe):
+    """When the canvas fits one tile, tiling is skipped entirely
+    (ref tilediffusion.py:309-317)."""
+    td_single = dataclasses.replace(TD, tile_w=32, tile_h=32)
+    a = pipe.txt2img(_cond(0), _cond(1), 128, 128, SAMPLER, seed=5,
+                     tiled_diffusion=td_single, decode=False)
+    b = pipe.txt2img(_cond(0), _cond(1), 128, 128, SAMPLER, seed=5,
+                     tiled_diffusion=None, decode=False)
+    np.testing.assert_array_equal(np.asarray(a.latents), np.asarray(b.latents))
+
+
+def test_mixture_of_diffusers_method(pipe):
+    td = dataclasses.replace(TD, method=Method.MIX_DIFF)
+    res = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=1,
+                       tiled_diffusion=td, decode=False)
+    assert np.isfinite(np.asarray(res.latents)).all()
+
+
+def test_img2img_upscale(pipe, rng):
+    img = (rng.uniform(0, 255, size=(64, 64, 3))).astype(np.uint8)
+    td = dataclasses.replace(TD, upscaler="Lanczos", scale_factor=2.0, overlap=8)
+    res = pipe.img2img(img, _cond(0), _cond(1), sampler=SAMPLER, seed=9,
+                       tiled_diffusion=td, tiled_vae=TV)
+    assert res.images.shape == (1, 128, 128, 3)
+
+
+def test_img2img_noise_inversion_and_cache(pipe, rng):
+    img = (rng.uniform(0, 255, size=(64, 64, 3))).astype(np.uint8)
+    td = dataclasses.replace(
+        TD, upscaler="Lanczos", scale_factor=2.0,
+        noise_inverse=True, noise_inverse_steps=2,
+        noise_inverse_renoise_strength=0.5, noise_inverse_renoise_kernel=8)
+    res = pipe.img2img(img, _cond(0), _cond(1), sampler=SAMPLER, seed=9,
+                       tiled_diffusion=td, decode=False)
+    assert np.isfinite(np.asarray(res.latents)).all()
+    assert pipe.noise_inverse_cache is not None
+    # second run hits the cache (same inputs)
+    res2 = pipe.img2img(img, _cond(0), _cond(1), sampler=SAMPLER, seed=9,
+                        tiled_diffusion=td, decode=False)
+    np.testing.assert_array_equal(np.asarray(res.latents), np.asarray(res2.latents))
+    pipe.free_cache()
+    assert pipe.noise_inverse_cache is None
+
+
+def test_regional_prompts(pipe):
+    regions = [
+        RegionSpec(0.0, 0.0, 0.5, 1.0, "left cat", seed=111),
+        RegionSpec(0.5, 0.0, 0.5, 1.0, "right dog",
+                   blend_mode=BlendMode.FOREGROUND, feather_ratio=0.3, seed=222),
+    ]
+    td = dataclasses.replace(TD, regions=regions)
+    rc = [(_cond(10), _cond(11)), (_cond(12), _cond(13))]
+    res = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=7,
+                       tiled_diffusion=td, region_conds=rc, decode=False)
+    assert np.isfinite(np.asarray(res.latents)).all()
+    assert "Region control" in res.info["Tiled Diffusion"]
+
+
+def test_region_seed_changes_noise_locally(pipe):
+    regions = [RegionSpec(0.0, 0.0, 0.5, 1.0, "left", seed=111)]
+    td = dataclasses.replace(TD, regions=regions)
+    rc = [(_cond(10), _cond(11))]
+    a = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=7,
+                     tiled_diffusion=td, region_conds=rc, decode=False)
+    regions2 = [RegionSpec(0.0, 0.0, 0.5, 1.0, "left", seed=999)]
+    td2 = dataclasses.replace(TD, regions=regions2)
+    b = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=7,
+                     tiled_diffusion=td2, region_conds=rc, decode=False)
+    assert np.abs(np.asarray(a.latents) - np.asarray(b.latents)).max() > 1e-4

@@ -1,0 +1,101 @@
+"""Tiled VAE: plan geometry + tiled-vs-untiled output parity
+(ref scripts/tilevae.py; SURVEY.md §4 integration bar)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdu_tpu.models import AutoencoderKL, random_params, tiny_vae_config
+from mdu_tpu.tiling import (
+    plan_vae_tiles,
+    tiled_vae_decode,
+    tiled_vae_encode_moments,
+)
+
+
+@pytest.fixture(scope="module")
+def vae_and_params():
+    vae = AutoencoderKL(tiny_vae_config())
+    x = jnp.zeros((1, 3, 64, 64))
+    params = random_params(vae, 7, x, jax.random.PRNGKey(0))
+    return vae, params
+
+
+def test_plan_owned_partition():
+    plan = plan_vae_tiles(96, 160, 48, 11)
+    canvas = np.zeros((96, 160), np.int32)
+    for (y0, y1, x0, x1) in plan.owned:
+        canvas[y0:y1, x0:x1] += 1
+    assert (canvas == 1).all(), "owned regions must partition the canvas exactly"
+
+
+def test_plan_uniform_tiles_inside_canvas():
+    plan = plan_vae_tiles(96, 160, 48, 11)
+    for (oy, ox) in plan.in_origins:
+        assert 0 <= oy <= 96 - plan.in_h
+        assert 0 <= ox <= 160 - plan.in_w
+
+
+def test_plan_bypass_small_input():
+    assert plan_vae_tiles(64, 64, 96, 11) is None
+
+
+def test_plan_owned_inside_input_tile():
+    plan = plan_vae_tiles(200, 104, 48, 11)
+    for (oy, ox), (y0, y1, x0, x1) in zip(plan.in_origins, plan.owned):
+        assert oy <= y0 and y1 <= oy + plan.in_h
+        assert ox <= x0 and x1 <= ox + plan.in_w
+
+
+def test_tiled_decode_matches_untiled(vae_and_params):
+    vae, params = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 48, 48)) * 0.5
+    full = jax.jit(lambda z: vae.apply(params, z, method=vae.decode))(z)
+    tiled = jax.jit(lambda z: tiled_vae_decode(vae, params, z, tile_size=24))(z)
+    assert tiled.shape == full.shape
+    err = np.abs(np.asarray(tiled) - np.asarray(full))
+    # halo 11 bounds the conv receptive-field mismatch; per-tile attention is
+    # the same approximation the reference makes
+    assert err.mean() < 0.02, f"mean err {err.mean()}"
+    assert np.median(err) < 0.01
+
+
+def test_tiled_encode_matches_untiled(vae_and_params):
+    vae, params = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 256, 256)) * 0.3
+    full = jax.jit(lambda x: vae.apply(params, x, method=vae.encode_moments))(x)
+    tiled = jax.jit(lambda x: tiled_vae_encode_moments(vae, params, x, tile_size=128))(x)
+    assert tiled.shape == full.shape
+    err = np.abs(np.asarray(tiled) - np.asarray(full))
+    assert err.mean() < 0.05, f"mean err {err.mean()}"
+
+
+def test_fast_mode_decode_close_to_exact(vae_and_params):
+    vae, params = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 48, 48)) * 0.5
+    exact = jax.jit(lambda z: tiled_vae_decode(vae, params, z, tile_size=24))(z)
+    fast = jax.jit(lambda z: tiled_vae_decode(vae, params, z, tile_size=24, fast=True,
+                                              tile_batch=2))(z)
+    assert fast.shape == exact.shape
+    assert np.isfinite(np.asarray(fast)).all()
+    # estimated stats shift outputs but must stay in the same regime
+    assert np.abs(np.asarray(fast) - np.asarray(exact)).mean() < 0.2
+
+
+def test_reference_pooling_mode_runs(vae_and_params):
+    vae, params = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, 4, 48, 48)) * 0.5
+    out = jax.jit(lambda z: tiled_vae_decode(vae, params, z, tile_size=24,
+                                             reference_pooling=True))(z)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batch_dimension(vae_and_params):
+    vae, params = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 48, 48)) * 0.5
+    out = jax.jit(lambda z: tiled_vae_decode(vae, params, z, tile_size=24))(z)
+    assert out.shape == (2, 3, 384, 384)
+    # each batch element decodes independently
+    single = jax.jit(lambda z: tiled_vae_decode(vae, params, z, tile_size=24))(z[:1])
+    np.testing.assert_allclose(np.asarray(out[:1]), np.asarray(single),
+                               rtol=1e-4, atol=1e-5)
