@@ -1,0 +1,9 @@
+from .mesh import make_tile_mesh, make_train_mesh, replicated
+from .sharded import make_sharded_tile_denoiser, shard_vae_tiles
+from .training import make_train_step, param_shardings
+
+__all__ = [
+    "make_tile_mesh", "make_train_mesh", "replicated",
+    "make_sharded_tile_denoiser", "shard_vae_tiles",
+    "make_train_step", "param_shardings",
+]

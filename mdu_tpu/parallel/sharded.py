@@ -1,0 +1,103 @@
+"""Tile-data-parallelism: shard tile batches over the mesh.
+
+TPU-native replacement for the reference's single-GPU tile batching
+(ref abstractdiffusion.py:183-186): the stacked tile tensor [T, B, C, th, tw]
+shards over the 'tiles' mesh axis via `shard_map`; each device denoises its
+tile shard, scatters into a *partial* canvas with its tiles' (traced) bbox
+offsets, and a single `psum` over ICI fuses the partial canvases — the
+all-reduce formulation of scatter-add fusion (SURVEY.md §5).
+
+For the tiled VAE the same sharding applies with the GroupNorm stats psum
+handled by `TileContext(axis_name='tiles')` (ops/tile_context.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..tiling.schedulers import DiffusionTilePlan
+from ..utils.bbox import BBox
+
+
+def _pad_tiles_to(n: int, arrs):
+    """Pad leading (tile) axis to n by repeating the last entry."""
+    out = []
+    for a in arrs:
+        pad = n - a.shape[0]
+        if pad > 0:
+            a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+        out.append(a)
+    return out
+
+
+def make_sharded_tile_denoiser(
+    mesh: Mesh,
+    plan: DiffusionTilePlan,
+    tile_denoise_flat: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+):
+    """Build `denoised_fn(x, sigma, step)` with tiles sharded over the mesh.
+
+    ``tile_denoise_flat(x_tiles [K,B,C,th,tw] -> same)`` is a per-shard
+    denoiser (cond handling baked in by the caller; all tiles share cond).
+    Supports grid tiles (regions run better unsharded — they are few).
+    """
+    n_dev = mesh.shape["tiles"]
+    T = len(plan.bboxes)
+    T_pad = -(-T // n_dev) * n_dev
+
+    offsets = np.array([[b.y, b.x] for b in plan.bboxes], np.int32)
+    offsets = np.concatenate(
+        [offsets, np.repeat(offsets[-1:], T_pad - T, axis=0)], axis=0)
+    # padded duplicate tiles must not contribute to the fused canvas
+    contrib = np.concatenate(
+        [np.ones(T, np.float32), np.zeros(T_pad - T, np.float32)])
+
+    weights = jnp.asarray(plan.weights)
+    th, tw = plan.tile_h, plan.tile_w
+
+    def shard_body(tiles, offs, cmask, sigma, step):
+        # tiles [T_local, B, C, th, tw]; offs [T_local, 2]; cmask [T_local]
+        out = tile_denoise_flat(tiles, sigma)
+        B, C = out.shape[1], out.shape[2]
+        H, W = plan.h, plan.w
+        canvas = jnp.zeros((B, C, H, W), out.dtype)
+        # the accumulated canvas varies per device shard (vma typing)
+        canvas = jax.lax.pcast(canvas, ("tiles",), to="varying")
+
+        def add_tile(i, canvas):
+            y, x = offs[i, 0], offs[i, 1]
+            cur = jax.lax.dynamic_slice(canvas, (0, 0, y, x), (B, C, th, tw))
+            return jax.lax.dynamic_update_slice(
+                canvas, cur + out[i] * cmask[i], (0, 0, y, x))
+
+        canvas = jax.lax.fori_loop(0, out.shape[0], add_tile, canvas)
+        return jax.lax.psum(canvas, "tiles")
+
+    sharded = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P("tiles"), P("tiles"), P("tiles"), P(), P()),
+        out_specs=P(),
+    )
+
+    def denoised_fn(x, sigma, step):
+        B, C, H, W = x.shape
+        tiles = jnp.stack([
+            jax.lax.slice(x, (0, 0, b.y, b.x), (B, C, b.y + th, b.x + tw))
+            for b in plan.bboxes])
+        tiles, = _pad_tiles_to(T_pad, [tiles])
+        buf = sharded(tiles, jnp.asarray(offsets), jnp.asarray(contrib), sigma, step)
+        return jnp.where(weights > 1, buf / weights, buf)
+
+    return denoised_fn
+
+
+def shard_vae_tiles(mesh: Mesh, num_tiles: int) -> Tuple[int, NamedSharding]:
+    """Padded tile count + sharding for lockstep tiled-VAE over the mesh."""
+    n_dev = mesh.shape["tiles"]
+    t_pad = -(-num_tiles // n_dev) * n_dev
+    return t_pad, NamedSharding(mesh, P("tiles"))
