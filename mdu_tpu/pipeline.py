@@ -100,8 +100,12 @@ class DiffusionPipeline:
 
     # ------------------------------------------------------------- model fns
 
-    def _model_fn(self):
-        unet, params = self.unet, self.unet_params
+    def _model_fn(self, params=None):
+        """Raw model fn. ``params`` may be a jit argument — closing over the
+        full weight tree would bake it into the HLO as constants (fatal for
+        SD-scale models on the remote-compile TPU path)."""
+        unet = self.unet
+        params = self.unet_params if params is None else params
         is_xl = unet.cfg.addition_embed_type == "text_time"
         controlnet, cn_params = self.controlnet, self.controlnet_params
 
@@ -130,16 +134,28 @@ class DiffusionPipeline:
 
     # --------------------------------------------------- denoiser assembly
 
+    @staticmethod
+    def _as_cond_fn(c):
+        """Conds may be pytrees or step-callables (scheduled prompts)."""
+        if c is None:
+            return None
+        return c if callable(c) else (lambda step, _c=c: _c)
+
     def _make_denoised_fn(
         self,
         plan: Optional[DiffusionTilePlan],
-        cond: Cond,
-        uncond: Optional[Cond],
+        cond,
+        uncond,
         cfg_scale: float,
-        region_conds: Sequence[Tuple[Cond, Optional[Cond]]] = (),
+        region_conds: Sequence[Tuple[Any, Any]] = (),
         latent_hw: Optional[Tuple[int, int]] = None,
+        unet_params=None,
     ):
-        den = denoised_from_model(self._model_fn(), self.schedule)
+        den = denoised_from_model(self._model_fn(unet_params), self.schedule)
+        cond_f = self._as_cond_fn(cond)
+        uncond_f = self._as_cond_fn(uncond)
+        region_fs = [(self._as_cond_fn(rc), self._as_cond_fn(ru))
+                     for rc, ru in region_conds]
 
         def guided(x, sigma, c, u):
             B = x.shape[0]
@@ -152,28 +168,29 @@ class DiffusionPipeline:
             return cfg_combine(du, dc, cfg_scale)
 
         if plan is None:
-            hw = latent_hw
 
             def denoised_fn(x, sigma, step):
-                return guided(x, sigma, cond, uncond)
+                u = uncond_f(step) if uncond_f is not None else None
+                return guided(x, sigma, cond_f(step), u)
 
             return denoised_fn
 
         hw = (plan.h, plan.w)
 
         def tile_denoise(flat, sigma, step, bboxes, batch_i):
-            c = tile_cond(cond, bboxes, hw)
-            u = tile_cond(uncond, bboxes, hw) if uncond is not None else None
+            c = tile_cond(cond_f(step), bboxes, hw)
+            u = tile_cond(uncond_f(step), bboxes, hw) if uncond_f is not None else None
             return guided(flat, sigma, c, u)
 
         def region_denoise(xt, sigma, step, i):
-            rc, ru = region_conds[i]
-            c = tile_cond(rc, [plan.regions[i]], hw)
-            u = tile_cond(ru, [plan.regions[i]], hw) if ru is not None else None
+            rcf, ruf = region_fs[i]
+            c = tile_cond(rcf(step), [plan.regions[i]], hw)
+            u = tile_cond(ruf(step), [plan.regions[i]], hw) if ruf is not None else None
             return guided(xt, sigma, c, u)
 
         def org_fn(x, sigma, step):
-            return guided(x, sigma, cond, uncond)
+            u = uncond_f(step) if uncond_f is not None else None
+            return guided(x, sigma, cond_f(step), u)
 
         return make_tiled_denoiser(plan, tile_denoise,
                                    region_denoise if plan.regions else None, org_fn)
@@ -216,18 +233,19 @@ class DiffusionPipeline:
             noise = compose_region_noise(noise, plan.regions, seeds)
 
         sigmas = jnp.asarray(self.schedule.sampling_sigmas(sp.steps, sp.schedule))
-        den_fn = self._make_denoised_fn(plan, cond, uncond, sp.cfg_scale,
-                                        region_conds, latent_hw=(h, w))
         sampler_fn = get_sampler(sp.name)
         x = noise * sigmas[0]
         skey = jax.random.fold_in(key, 7)
 
-        def run(x):
+        def run(uparams, x):
+            den_fn = self._make_denoised_fn(plan, cond, uncond, sp.cfg_scale,
+                                            region_conds, latent_hw=(h, w),
+                                            unet_params=uparams)
             if sp.name in STOCHASTIC_SAMPLERS:
                 return sampler_fn(den_fn, x, sigmas, skey)
             return sampler_fn(den_fn, x, sigmas)
 
-        latents = jax.jit(run)(x)
+        latents = jax.jit(run)(self.unet_params, x)
         images = self._decode(latents, tiled_vae) if decode else None
         info = self._info(sp, tiled_diffusion, seed)
         return GenerationResult(images, latents, seed, info)
@@ -281,18 +299,19 @@ class DiffusionPipeline:
                 inversion_cond if inversion_cond is not None else cond,
                 sigma0=sigmas[0])
 
-        den_fn = self._make_denoised_fn(plan, cond, uncond, sp.cfg_scale,
-                                        region_conds, latent_hw=(h, w))
         sampler_fn = get_sampler(sp.name)
         x = init_latent + noise * sigmas[0]
         skey = jax.random.fold_in(key, 7)
 
-        def run(x):
+        def run(uparams, x):
+            den_fn = self._make_denoised_fn(plan, cond, uncond, sp.cfg_scale,
+                                            region_conds, latent_hw=(h, w),
+                                            unet_params=uparams)
             if sp.name in STOCHASTIC_SAMPLERS:
                 return sampler_fn(den_fn, x, sigmas, skey)
             return sampler_fn(den_fn, x, sigmas)
 
-        latents = jax.jit(run)(x)
+        latents = jax.jit(run)(self.unet_params, x)
         images = self._decode(latents, tiled_vae) if decode else None
         info = self._info(sp, td, seed)
         return GenerationResult(images, latents, seed, info)
@@ -364,49 +383,48 @@ class DiffusionPipeline:
         """Tiled reverse-Euler inversion (ref find_noise_for_image_sigma_adjustment,
         abstractdiffusion.py:683-742; per-tile model fn ref
         multidiffusion.py:220-243).  Uses the positive cond only, no CFG."""
-        model_fn = self._model_fn()
         sch = self.schedule
-
-        def eps_tile(flat, sigma, step, bboxes, batch_i):
-            hw = (plan.h, plan.w)
-            c = tile_cond(cond, bboxes, hw)
-            return self._raw_eps(model_fn, flat, sigma, c, retouch)
-
-        def eps_region(xt, sigma, step, i):
-            c = tile_cond(cond, [plan.regions[i]], (plan.h, plan.w))
-            return self._raw_eps(model_fn, xt, sigma, c, retouch)
-
-        def eps_org(x, sigma, step):
-            return self._raw_eps(model_fn, x, sigma, cond, retouch)
-
-        if plan is not None:
-            tiled_eps = make_tiled_denoiser(plan, eps_tile,
-                                            eps_region if plan.regions else None,
-                                            eps_org)
-        else:
-            tiled_eps = eps_org
 
         # ascending sigmas [sigma_min..sigma_max]; ref flips get_sigmas(steps)
         sig_desc = sch.sampling_sigmas(steps, "automatic")[:-1]     # drop 0
         sig_asc = jnp.asarray(sig_desc[::-1].copy())                # [steps]
-
-        def body(x, inp):
-            i, s, s_prev = inp
-            _, c_out, c_in = scalings(s, sch.prediction_type)
-            eps = tiled_eps(x * c_in, s, steps - 1 - i)
-            denoised = x + eps * c_out            # ref :726 (eps-form even for v)
-            d = (x - denoised) / s
-            dt = s - s_prev
-            return x + d * dt, None
-
         prev = jnp.concatenate([jnp.zeros((1,)), sig_asc[:-1]])
         steps_arr = jnp.arange(steps)
 
-        def run(x):
+        def run(uparams, x):
+            model_fn = self._model_fn(uparams)
+
+            def eps_tile(flat, sigma, step, bboxes, batch_i):
+                c = tile_cond(cond, bboxes, (plan.h, plan.w))
+                return self._raw_eps(model_fn, flat, sigma, c, retouch)
+
+            def eps_region(xt, sigma, step, i):
+                c = tile_cond(cond, [plan.regions[i]], (plan.h, plan.w))
+                return self._raw_eps(model_fn, xt, sigma, c, retouch)
+
+            def eps_org(x, sigma, step):
+                return self._raw_eps(model_fn, x, sigma, cond, retouch)
+
+            if plan is not None:
+                tiled_eps = make_tiled_denoiser(plan, eps_tile,
+                                                eps_region if plan.regions else None,
+                                                eps_org)
+            else:
+                tiled_eps = eps_org
+
+            def body(x, inp):
+                i, s, s_prev = inp
+                _, c_out, c_in = scalings(s, sch.prediction_type)
+                eps = tiled_eps(x * c_in, s, steps - 1 - i)
+                denoised = x + eps * c_out        # ref :726 (eps-form even for v)
+                d = (x - denoised) / s
+                dt = s - s_prev
+                return x + d * dt, None
+
             out, _ = jax.lax.scan(body, x, (steps_arr, sig_asc, prev))
             return out / sig_asc[-1]
 
-        return jax.jit(run)(init_latent)
+        return jax.jit(run)(self.unet_params, init_latent)
 
     def _raw_eps(self, model_fn, x, sigma, cond, retouch):
         t = self.schedule.t_for_sigma(jnp.atleast_1d(sigma)) / retouch
@@ -417,22 +435,26 @@ class DiffusionPipeline:
     # ------------------------------------------------------------------- VAE
 
     def _decode(self, latents: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> np.ndarray:
-        z = latents / self.vae.cfg.scaling_factor
-        if tv is not None and tv.enabled:
-            img = tiled_vae_decode(self.vae, self.vae_params, z,
-                                   tile_size=tv.decoder_tile_size,
-                                   fast=tv.fast_decoder, tile_batch=tv.tile_batch)
-        else:
-            img = self.vae.apply(self.vae_params, z, method=self.vae.decode)
-        return tensor_to_image(img)
+        def run(vp, z):
+            z = z / self.vae.cfg.scaling_factor
+            if tv is not None and tv.enabled:
+                return tiled_vae_decode(self.vae, vp, z,
+                                        tile_size=tv.decoder_tile_size,
+                                        fast=tv.fast_decoder, tile_batch=tv.tile_batch)
+            return self.vae.apply(vp, z, method=self.vae.decode)
+
+        return tensor_to_image(jax.jit(run)(self.vae_params, latents))
 
     def _encode(self, x_img: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> jnp.ndarray:
-        if tv is not None and tv.enabled:
-            return tiled_vae_encode_moments(self.vae, self.vae_params, x_img,
-                                            tile_size=tv.encoder_tile_size,
-                                            fast=tv.fast_encoder,
-                                            tile_batch=tv.tile_batch)
-        return self.vae.apply(self.vae_params, x_img, method=self.vae.encode_moments)
+        def run(vp, x):
+            if tv is not None and tv.enabled:
+                return tiled_vae_encode_moments(self.vae, vp, x,
+                                                tile_size=tv.encoder_tile_size,
+                                                fast=tv.fast_encoder,
+                                                tile_batch=tv.tile_batch)
+            return self.vae.apply(vp, x, method=self.vae.encode_moments)
+
+        return jax.jit(run)(self.vae_params, x_img)
 
     # ------------------------------------------------------------------ misc
 
@@ -465,6 +487,19 @@ class DiffusionPipeline:
                 }
             info["Tiled Diffusion"] = block
         return info
+
+    def demofusion(self, cond, uncond, width, height, cfg=None,
+                   sampler: Optional[SamplerConfig] = None, seed: int = 0,
+                   init_latent=None, tiled_vae: Optional[TiledVAEConfig] = None,
+                   decode: bool = True):
+        """Progressive xN upscaling (ref scripts/tileglobal.py; see
+        tiling/demofusion.py)."""
+        from .config import DemoFusionConfig
+        from .tiling.demofusion import demofusion_generate
+
+        return demofusion_generate(self, cond, uncond, width, height,
+                                   cfg or DemoFusionConfig(), sampler, seed,
+                                   init_latent, tiled_vae, decode)
 
     def free_cache(self):
         """Clear the noise-inversion cache (ref 'Free GPU' button,

@@ -1,0 +1,137 @@
+"""Prompt -> cond-pytree conditioning (the reference's Condition helpers).
+
+Owns what ref tile_utils/utils.py:102-148 delegates to A1111's
+prompt_parser: emphasis-weighted CLIP embeddings (weights multiply token
+embeddings, overall mean preserved), 75-token chunking with BREAK, prompt
+*scheduling* (per-step cond banks gathered by traced step index), and
+region cond construction (region prompt appended to the base prompts,
+ref Prompt.append_prompt utils.py:112-114).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip import CLIPTextModel
+from .prompt import parse_prompt_attention, parse_prompt_schedule
+from .tokenizer import CLIPTokenizer, HashTokenizer
+
+Cond = Dict[str, Any]
+CondOrFn = Union[Cond, Callable]
+
+
+class TextConditioner:
+    def __init__(self, model: CLIPTextModel, params: Any,
+                 tokenizer=None, chunk_size: int = 75):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer or HashTokenizer(model.cfg.vocab_size,
+                                                    model.cfg.max_length)
+        self.chunk = min(chunk_size, model.cfg.max_length - 2)
+        self._embed = jax.jit(lambda ids: model.apply(params, ids))
+
+    # ------------------------------------------------------------- encoding
+
+    def _weighted_ids(self, text: str) -> List[Tuple[List[int], List[float]]]:
+        """-> per-chunk (ids, weights) including bos/eot/padding."""
+        tok = self.tokenizer
+        pieces: List[Tuple[int, float]] = []
+        chunks: List[Tuple[List[int], List[float]]] = []
+
+        def flush():
+            ids = [p[0] for p in pieces]
+            ws = [p[1] for p in pieces]
+            full = [tok.bos] + ids + [tok.eot]
+            full += [tok.pad_token] * (tok.max_length - len(full))
+            wfull = [1.0] + ws + [1.0]
+            wfull += [1.0] * (tok.max_length - len(wfull))
+            chunks.append((full, wfull))
+            pieces.clear()
+
+        for frag, w in parse_prompt_attention(text):
+            if frag == "BREAK":
+                if pieces:
+                    flush()
+                continue
+            for tid in tok.tokenize(frag):
+                pieces.append((tid, w))
+                if len(pieces) == self.chunk:
+                    flush()
+        flush()   # always at least one chunk (possibly empty prompt)
+        return chunks
+
+    def encode(self, texts: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (crossattn [B, n_chunks*77, D], pooled [B, D']).
+
+        All prompts in the batch are padded to the same chunk count.
+        """
+        per_text = [self._weighted_ids(t) for t in texts]
+        n_chunks = max(len(c) for c in per_text)
+        tok = self.tokenizer
+        empty_ids = [tok.bos, tok.eot] + [tok.pad_token] * (tok.max_length - 2)
+        empty_ws = [1.0] * tok.max_length
+
+        outs, pooleds = [], []
+        for chunks in per_text:
+            chunks = chunks + [(empty_ids, empty_ws)] * (n_chunks - len(chunks))
+            zs = []
+            pooled = None
+            for ids, ws in chunks:
+                z, p = self._embed(jnp.asarray([ids], jnp.int32))
+                w = jnp.asarray(ws, jnp.float32)[None, :, None]
+                mean0 = jnp.mean(z)
+                z = z * w
+                new_mean = jnp.mean(z)
+                # A1111 mean preservation, guarded against ~0 means
+                ratio = jnp.where(jnp.abs(new_mean) > 1e-7, mean0 / new_mean, 1.0)
+                z = z * ratio
+                zs.append(z)
+                if pooled is None:
+                    pooled = p                     # first chunk's pooled state
+            outs.append(jnp.concatenate(zs, axis=1))
+            pooleds.append(pooled)
+        return jnp.concatenate(outs, axis=0), jnp.concatenate(pooleds, axis=0)
+
+    # ----------------------------------------------------------- cond trees
+
+    def cond(self, prompt: str, steps: Optional[int] = None,
+             extra: Optional[Cond] = None) -> CondOrFn:
+        """Cond pytree; a step-callable when the prompt is scheduled."""
+        extra = extra or {}
+        if steps is not None:
+            sched = parse_prompt_schedule(prompt, steps)
+            if len(sched) > 1:
+                texts = [p for _, p in sched]
+                bank, pooled = self.encode(texts)     # [S, L, D]
+                idx = np.zeros(steps, np.int32)
+                start = 0
+                for v, (end, _) in enumerate(sched):
+                    idx[start:end] = v
+                    start = end
+                idx = jnp.asarray(idx)
+
+                def cond_fn(step):
+                    v = idx[jnp.clip(step, 0, steps - 1)]
+                    return {"crossattn": bank[v][None], **extra}
+
+                return cond_fn
+        z, pooled = self.encode([prompt])
+        return {"crossattn": z, **extra}
+
+    def pair(self, prompt: str, neg_prompt: str = "",
+             steps: Optional[int] = None) -> Tuple[CondOrFn, CondOrFn]:
+        return self.cond(prompt, steps), self.cond(neg_prompt, steps)
+
+    def region_pair(self, base_prompt: str, region_prompt: str,
+                    region_neg: str = "", base_neg: str = "",
+                    steps: Optional[int] = None) -> Tuple[CondOrFn, CondOrFn]:
+        """Region cond: base prompt + ', region prompt' appended
+        (ref Condition.get_custom_cond, utils.py:121-127); region negatives
+        appended to the base negative likewise."""
+        p = f"{base_prompt}, {region_prompt}" if region_prompt else base_prompt
+        n = f"{base_neg}, {region_neg}" if region_neg else base_neg
+        return self.cond(p, steps), self.cond(n, steps)
