@@ -1,4 +1,14 @@
+from .controlnet import ControlNet
 from .init_utils import random_params
+from .loader import (
+    convert_params,
+    load_pipeline,
+    load_safetensors,
+    translate_clip_name,
+    translate_controlnet_name,
+    translate_unet_name,
+    translate_vae_name,
+)
 from .clip import (
     CLIPTextConfig,
     CLIPTextModel,
@@ -19,7 +29,10 @@ from .unet import (
 from .vae import AutoencoderKL, Decoder, Encoder, VAEConfig, sample_from_moments, tiny_vae_config
 
 __all__ = [
-    "random_params",
+    "random_params", "ControlNet",
+    "convert_params", "load_pipeline", "load_safetensors",
+    "translate_clip_name", "translate_controlnet_name", "translate_unet_name",
+    "translate_vae_name",
     "CLIPTextConfig", "CLIPTextModel", "clip_l_config", "open_clip_bigg_config",
     "open_clip_h_config", "tiny_clip_config",
     "UNet2DCondition", "UNetConfig", "sd15_unet_config", "sd21_unet_config",

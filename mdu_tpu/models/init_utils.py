@@ -27,7 +27,11 @@ def random_params(module, seed: int, *init_args, **init_kwargs) -> Any:
     for name, leaf in flat.items():
         shape, dtype = leaf.shape, leaf.dtype
         last = name.rsplit("/", 1)[-1]
-        if last == "bias" or (last == "weight" and len(shape) == 1):
+        segs = name.split("/")
+        if any(s.startswith("zero") for s in segs) or "cond_embedding/conv_out" in name:
+            # ControlNet gating convs are zero-initialized by design
+            val = np.zeros(shape, np.float32)
+        elif last == "bias" or (last == "weight" and len(shape) == 1):
             # biases zero; 1-D 'weight' = norm scale -> ones
             val = np.zeros(shape, np.float32) if last == "bias" else np.ones(shape, np.float32)
         elif last in ("token_embedding", "position_embedding"):

@@ -1,0 +1,251 @@
+"""Checkpoint loading: diffusers-layout safetensors -> framework params.
+
+The reference gets weights for free from A1111's checkpoint machinery
+(SURVEY.md L0).  Here every module family (UNet / VAE / CLIP / ControlNet)
+uses torch parameter layouts (OIHW convs, [out,in] linears — models/layers.py),
+so conversion is pure name translation with no transposes.
+
+Layout on disk = the standard diffusers pipeline folder:
+  unet/diffusion_pytorch_model.safetensors
+  vae/diffusion_pytorch_model.safetensors
+  text_encoder/model.safetensors
+  tokenizer/vocab.json + merges.txt
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="numpy") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def _sub_transformer(rest: str) -> str:
+    """Our Transformer2D subtree name -> diffusers suffix."""
+    m = re.match(r"block_(\d+)/(.*)", rest)
+    if m:
+        d, inner = m.group(1), m.group(2)
+        inner = inner.replace("attn1/to_out", "attn1.to_out.0")
+        inner = inner.replace("attn2/to_out", "attn2.to_out.0")
+        inner = inner.replace("ff/proj", "ff.net.0.proj")
+        inner = inner.replace("ff/out", "ff.net.2")
+        inner = inner.replace("/", ".")
+        return f"transformer_blocks.{d}.{inner}"
+    return rest.replace("/", ".")
+
+
+def translate_unet_name(name: str) -> str:
+    """Our flat UNet param path (sep '/') -> diffusers key (sans .weight/.bias)."""
+    parts = name.split("/")
+    head = parts[0]
+
+    m = re.match(r"time_embed_(\d)", head)
+    if m:
+        return f"time_embedding.linear_{m.group(1)}." + parts[-1]
+    m = re.match(r"add_embed_(\d)", head)
+    if m:
+        return f"add_embedding.linear_{m.group(1)}." + parts[-1]
+    if head in ("conv_in", "conv_out"):
+        return f"{head}." + parts[-1]
+    if head == "norm_out":
+        return "conv_norm_out." + parts[-1]
+
+    m = re.match(r"(down|up)_(\d+)_res_(\d+)", head)
+    if m:
+        return (f"{m.group(1)}_blocks.{m.group(2)}.resnets.{m.group(3)}."
+                + ".".join(parts[1:]))
+    m = re.match(r"(down|up)_(\d+)_attn_(\d+)", head)
+    if m:
+        return (f"{m.group(1)}_blocks.{m.group(2)}.attentions.{m.group(3)}."
+                + _sub_transformer("/".join(parts[1:])))
+    m = re.match(r"down_(\d+)_downsample", head)
+    if m:
+        return f"down_blocks.{m.group(1)}.downsamplers.0." + ".".join(parts[1:])
+    m = re.match(r"up_(\d+)_upsample", head)
+    if m:
+        return f"up_blocks.{m.group(1)}.upsamplers.0." + ".".join(parts[1:])
+    m = re.match(r"mid_res_(\d)", head)
+    if m:
+        return f"mid_block.resnets.{m.group(1)}." + ".".join(parts[1:])
+    if head == "mid_attn":
+        return "mid_block.attentions.0." + _sub_transformer("/".join(parts[1:]))
+    raise KeyError(f"unmapped UNet param: {name}")
+
+
+def translate_vae_name(name: str) -> str:
+    parts = name.split("/")
+    head = parts[0]
+    if head in ("quant_conv", "post_quant_conv"):
+        return f"{head}." + parts[-1]
+    coder = head                     # 'encoder' | 'decoder'
+    sub = parts[1]
+    rest = parts[2:]
+
+    def attn(rest):
+        inner = "/".join(rest)
+        inner = inner.replace("to_out", "to_out.0")
+        return inner.replace("/", ".")
+
+    if sub in ("conv_in", "conv_out"):
+        return f"{coder}.{sub}." + rest[-1]
+    if sub == "norm_out":
+        return f"{coder}.conv_norm_out." + rest[-1]
+    m = re.match(r"down_(\d+)_block_(\d+)", sub)
+    if m:
+        return (f"{coder}.down_blocks.{m.group(1)}.resnets.{m.group(2)}."
+                + ".".join(rest))
+    m = re.match(r"down_(\d+)_downsample", sub)
+    if m:
+        return f"{coder}.down_blocks.{m.group(1)}.downsamplers.0." + ".".join(rest)
+    m = re.match(r"up_(\d+)_block_(\d+)", sub)
+    if m:
+        return (f"{coder}.up_blocks.{m.group(1)}.resnets.{m.group(2)}."
+                + ".".join(rest))
+    m = re.match(r"up_(\d+)_upsample", sub)
+    if m:
+        return f"{coder}.up_blocks.{m.group(1)}.upsamplers.0." + ".".join(rest)
+    if sub == "mid":
+        inner = parts[2]
+        if inner == "block_1":
+            return f"{coder}.mid_block.resnets.0." + ".".join(parts[3:])
+        if inner == "block_2":
+            return f"{coder}.mid_block.resnets.1." + ".".join(parts[3:])
+        if inner == "attn_1":
+            return f"{coder}.mid_block.attentions.0." + attn(parts[3:])
+    raise KeyError(f"unmapped VAE param: {name}")
+
+
+def translate_clip_name(name: str) -> str:
+    parts = name.split("/")
+    head = parts[0]
+    if head == "token_embedding":
+        return "text_model.embeddings.token_embedding.weight"
+    if head == "position_embedding":
+        return "text_model.embeddings.position_embedding.weight"
+    if head == "ln_final":
+        return "text_model.final_layer_norm." + parts[-1]
+    if head == "text_projection":
+        return "text_projection.weight"
+    m = re.match(r"layer_(\d+)", head)
+    if m:
+        i = m.group(1)
+        sub = parts[1]
+        leaf = parts[-1]
+        table = {"ln1": "layer_norm1", "ln2": "layer_norm2",
+                 "q": "self_attn.q_proj", "k": "self_attn.k_proj",
+                 "v": "self_attn.v_proj", "out": "self_attn.out_proj",
+                 "fc1": "mlp.fc1", "fc2": "mlp.fc2"}
+        return f"text_model.encoder.layers.{i}.{table[sub]}.{leaf}"
+    raise KeyError(f"unmapped CLIP param: {name}")
+
+
+def translate_controlnet_name(name: str) -> str:
+    parts = name.split("/")
+    head = parts[0]
+    if head == "cond_embedding":
+        sub = parts[1]
+        m = re.match(r"block_(\d+)", sub)
+        if m:
+            return f"controlnet_cond_embedding.blocks.{m.group(1)}." + parts[-1]
+        return f"controlnet_cond_embedding.{sub}." + parts[-1]
+    m = re.match(r"zero_(\d+)", head)
+    if m:
+        return f"controlnet_down_blocks.{m.group(1)}." + parts[-1]
+    if head == "zero_mid":
+        return "controlnet_mid_block." + parts[-1]
+    return translate_unet_name(name)
+
+
+# VAE checkpoints older than diffusers 0.17 use query/key/value/proj_attn
+_VAE_ATTN_ALIASES = {
+    "to_q": "query", "to_k": "key", "to_v": "value", "to_out.0": "proj_attn",
+}
+
+
+def convert_params(
+    target_shapes: Any,
+    state: Dict[str, np.ndarray],
+    translate: Callable[[str], str],
+    strict: bool = True,
+) -> Any:
+    """Fill a param tree (from jax.eval_shape) with translated state entries."""
+    flat = traverse_util.flatten_dict(target_shapes["params"], sep="/")
+    out = {}
+    missing = []
+    for name, leaf in flat.items():
+        key = translate(name)
+        t = state.get(key)
+        if t is None:
+            for ours, old in _VAE_ATTN_ALIASES.items():
+                alt = key.replace(ours, old)
+                if alt in state:
+                    t = state[alt]
+                    break
+        if t is None:
+            missing.append(key)
+            continue
+        t = np.asarray(t)
+        if t.shape != leaf.shape:
+            # old-layout VAE attention stores 1x1 convs [C,C,1,1] for linears
+            if t.ndim == 4 and t.shape[2:] == (1, 1) and t.shape[:2] == leaf.shape:
+                t = t[:, :, 0, 0]
+            else:
+                raise ValueError(f"{name}: shape {t.shape} != expected {leaf.shape}")
+        out[name] = jnp.asarray(t.astype(np.float32)).astype(leaf.dtype)
+    if missing and strict:
+        raise KeyError(f"missing {len(missing)} params, first: {missing[:5]}")
+    return {"params": traverse_util.unflatten_dict(out, sep="/")}
+
+
+def load_pipeline(model_dir: str, dtype=jnp.float32, schedule=None):
+    """Build a DiffusionPipeline + TextConditioner from a diffusers folder."""
+    import jax
+
+    from ..pipeline import DiffusionPipeline
+    from ..text import CLIPTokenizer, TextConditioner
+    from .clip import CLIPTextModel, clip_l_config
+    from .unet import UNet2DCondition, sd15_unet_config
+    from .vae import AutoencoderKL, VAEConfig
+
+    unet = UNet2DCondition(sd15_unet_config(), dtype=dtype)
+    vae = AutoencoderKL(VAEConfig(), dtype=dtype)
+    clip = CLIPTextModel(clip_l_config(), dtype=dtype)
+
+    def shapes(module, *args):
+        return jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args))
+
+    u_state = load_safetensors(
+        os.path.join(model_dir, "unet", "diffusion_pytorch_model.safetensors"))
+    u_shapes = shapes(unet, jnp.zeros((1, 4, 8, 8)), jnp.zeros((1,)),
+                      jnp.zeros((1, 77, 768)))
+    unet_params = convert_params(u_shapes, u_state, translate_unet_name)
+
+    v_state = load_safetensors(
+        os.path.join(model_dir, "vae", "diffusion_pytorch_model.safetensors"))
+    v_shapes = shapes(vae, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
+    vae_params = convert_params(v_shapes, v_state, translate_vae_name)
+
+    c_state = load_safetensors(
+        os.path.join(model_dir, "text_encoder", "model.safetensors"))
+    c_shapes = shapes(clip, jnp.zeros((1, 77), jnp.int32))
+    clip_params = convert_params(c_shapes, c_state, translate_clip_name)
+
+    tok = CLIPTokenizer.from_files(
+        os.path.join(model_dir, "tokenizer", "vocab.json"),
+        os.path.join(model_dir, "tokenizer", "merges.txt"))
+
+    pipe = DiffusionPipeline(unet, unet_params, vae, vae_params, schedule)
+    conditioner = TextConditioner(clip, clip_params, tok)
+    return pipe, conditioner

@@ -150,20 +150,30 @@ class DiffusionPipeline:
         region_conds: Sequence[Tuple[Any, Any]] = (),
         latent_hw: Optional[Tuple[int, int]] = None,
         unet_params=None,
+        region_unet_params: Optional[Sequence[Any]] = None,
     ):
         den = denoised_from_model(self._model_fn(unet_params), self.schedule)
         cond_f = self._as_cond_fn(cond)
         uncond_f = self._as_cond_fn(uncond)
         region_fs = [(self._as_cond_fn(rc), self._as_cond_fn(ru))
                      for rc, ru in region_conds]
+        # per-region LoRA'd weights (ref per-region extra-network activation,
+        # multidiffusion.py:180-182): regions with their own params get their
+        # own denoiser
+        region_dens = []
+        for i in range(len(region_conds)):
+            rp = region_unet_params[i] if region_unet_params else None
+            region_dens.append(
+                denoised_from_model(self._model_fn(rp), self.schedule)
+                if rp is not None else den)
 
-        def guided(x, sigma, c, u):
+        def guided(x, sigma, c, u, den_=den):
             B = x.shape[0]
             s = jnp.broadcast_to(jnp.atleast_1d(sigma), (B,))
             if u is None or cfg_scale == 1.0:
-                return den(x, s, c)
+                return den_(x, s, c)
             x2 = jnp.concatenate([x, x], axis=0)
-            d = den(x2, jnp.concatenate([s, s]), concat_conds(u, c))
+            d = den_(x2, jnp.concatenate([s, s]), concat_conds(u, c))
             du, dc = jnp.split(d, 2, axis=0)
             return cfg_combine(du, dc, cfg_scale)
 
@@ -186,7 +196,7 @@ class DiffusionPipeline:
             rcf, ruf = region_fs[i]
             c = tile_cond(rcf(step), [plan.regions[i]], hw)
             u = tile_cond(ruf(step), [plan.regions[i]], hw) if ruf is not None else None
-            return guided(xt, sigma, c, u)
+            return guided(xt, sigma, c, u, region_dens[i])
 
         def org_fn(x, sigma, step):
             u = uncond_f(step) if uncond_f is not None else None
@@ -219,6 +229,7 @@ class DiffusionPipeline:
         tiled_diffusion: Optional[TiledDiffusionConfig] = None,
         tiled_vae: Optional[TiledVAEConfig] = None,
         region_conds: Sequence[Tuple[Cond, Optional[Cond]]] = (),
+        region_unet_params: Optional[Sequence[Any]] = None,
         decode: bool = True,
     ) -> GenerationResult:
         sp = sampler or SamplerConfig()
@@ -237,15 +248,17 @@ class DiffusionPipeline:
         x = noise * sigmas[0]
         skey = jax.random.fold_in(key, 7)
 
-        def run(uparams, x):
+        def run(uparams, rparams, x):
             den_fn = self._make_denoised_fn(plan, cond, uncond, sp.cfg_scale,
                                             region_conds, latent_hw=(h, w),
-                                            unet_params=uparams)
+                                            unet_params=uparams,
+                                            region_unet_params=rparams)
             if sp.name in STOCHASTIC_SAMPLERS:
                 return sampler_fn(den_fn, x, sigmas, skey)
             return sampler_fn(den_fn, x, sigmas)
 
-        latents = jax.jit(run)(self.unet_params, x)
+        latents = jax.jit(run)(self.unet_params,
+                               tuple(region_unet_params or ()) or None, x)
         images = self._decode(latents, tiled_vae) if decode else None
         info = self._info(sp, tiled_diffusion, seed)
         return GenerationResult(images, latents, seed, info)
@@ -262,6 +275,7 @@ class DiffusionPipeline:
         tiled_diffusion: Optional[TiledDiffusionConfig] = None,
         tiled_vae: Optional[TiledVAEConfig] = None,
         region_conds: Sequence[Tuple[Cond, Optional[Cond]]] = (),
+        region_unet_params: Optional[Sequence[Any]] = None,
         inversion_cond: Optional[Cond] = None,
         decode: bool = True,
     ) -> GenerationResult:
@@ -303,15 +317,17 @@ class DiffusionPipeline:
         x = init_latent + noise * sigmas[0]
         skey = jax.random.fold_in(key, 7)
 
-        def run(uparams, x):
+        def run(uparams, rparams, x):
             den_fn = self._make_denoised_fn(plan, cond, uncond, sp.cfg_scale,
                                             region_conds, latent_hw=(h, w),
-                                            unet_params=uparams)
+                                            unet_params=uparams,
+                                            region_unet_params=rparams)
             if sp.name in STOCHASTIC_SAMPLERS:
                 return sampler_fn(den_fn, x, sigmas, skey)
             return sampler_fn(den_fn, x, sigmas)
 
-        latents = jax.jit(run)(self.unet_params, x)
+        latents = jax.jit(run)(self.unet_params,
+                               tuple(region_unet_params or ()) or None, x)
         images = self._decode(latents, tiled_vae) if decode else None
         info = self._info(sp, td, seed)
         return GenerationResult(images, latents, seed, info)
