@@ -1,0 +1,250 @@
+"""Command-line interface — the framework's user-facing surface.
+
+Exposes exactly the reference plugin's public knobs (SURVEY.md §5: tile
+size/overlap/method/batch, VAE tile sizes + fast modes, region prompt
+control via the region-config JSON files, noise inversion, DemoFusion
+cosine scales) as flags instead of Gradio widgets.
+
+    python -m mdu_tpu.cli txt2img --model-dir /ckpt --prompt "..." -W 2048 -H 512
+    python -m mdu_tpu.cli img2img --model-dir /ckpt --init in.png --scale-factor 4
+    python -m mdu_tpu.cli demofusion --model-dir /ckpt --prompt "..." --scale 3
+    python -m mdu_tpu.cli vae-roundtrip --model-dir /ckpt --image in.png
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--model-dir", required=True,
+                   help="diffusers-layout checkpoint folder")
+    p.add_argument("--prompt", default="")
+    p.add_argument("--negative", default="")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--sampler", default="Euler",
+                   choices=["Euler", "Euler a", "Heun", "DPM++ 2M", "DDIM"])
+    p.add_argument("--schedule", default="automatic", choices=["automatic", "karras"])
+    p.add_argument("--cfg-scale", type=float, default=7.0)
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--out", default="out.png")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 weights/compute")
+    # tiled diffusion knobs (ref tilediffusion.py:127-132 defaults)
+    p.add_argument("--method", default="MultiDiffusion",
+                   choices=["MultiDiffusion", "Mixture of Diffusers"])
+    p.add_argument("--tile-width", type=int, default=96)
+    p.add_argument("--tile-height", type=int, default=96)
+    p.add_argument("--overlap", type=int, default=48)
+    p.add_argument("--tile-batch-size", type=int, default=4)
+    p.add_argument("--no-tiled-diffusion", action="store_true")
+    # tiled VAE knobs (ref tilevae.py:79-99)
+    p.add_argument("--vae-encoder-tile", type=int, default=1536)
+    p.add_argument("--vae-decoder-tile", type=int, default=96)
+    p.add_argument("--fast-decoder", action="store_true", default=True)
+    p.add_argument("--no-fast-decoder", dest="fast_decoder", action="store_false")
+    p.add_argument("--fast-encoder", action="store_true", default=True)
+    p.add_argument("--no-fast-encoder", dest="fast_encoder", action="store_false")
+    p.add_argument("--no-tiled-vae", action="store_true")
+    # region prompt control
+    p.add_argument("--regions", help="region-config JSON file "
+                   "(ref region_configs/ format)")
+    p.add_argument("--draw-background", action="store_true", default=True)
+    p.add_argument("--no-draw-background", dest="draw_background", action="store_false")
+
+
+def _load(args):
+    import jax.numpy as jnp
+
+    from .models.loader import load_pipeline
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    print(f"loading checkpoint from {args.model_dir} ...", file=sys.stderr)
+    return load_pipeline(args.model_dir, dtype=dtype)
+
+
+def _configs(args):
+    from .config import SamplerConfig, TiledDiffusionConfig, TiledVAEConfig, regions_from_json
+
+    regions = []
+    if args.regions:
+        with open(args.regions, encoding="utf-8") as f:
+            regions = regions_from_json(f.read())
+    td = None
+    if not args.no_tiled_diffusion:
+        td = TiledDiffusionConfig(
+            method=args.method, tile_w=args.tile_width, tile_h=args.tile_height,
+            overlap=args.overlap, tile_bs=args.tile_batch_size,
+            regions=regions, draw_background=args.draw_background,
+            upscaler=getattr(args, "upscaler", None),
+            scale_factor=getattr(args, "scale_factor", 2.0),
+            noise_inverse=getattr(args, "noise_inverse", False),
+            noise_inverse_steps=getattr(args, "noise_inverse_steps", 10),
+            noise_inverse_retouch=getattr(args, "noise_inverse_retouch", 1.0),
+            noise_inverse_renoise_strength=getattr(args, "noise_inverse_renoise_strength", 1.0),
+            noise_inverse_renoise_kernel=getattr(args, "noise_inverse_renoise_kernel", 64),
+        ).validate()
+    tv = None
+    if not args.no_tiled_vae:
+        tv = TiledVAEConfig(encoder_tile_size=args.vae_encoder_tile,
+                            decoder_tile_size=args.vae_decoder_tile,
+                            fast_decoder=args.fast_decoder,
+                            fast_encoder=args.fast_encoder)
+    sp = SamplerConfig(name=args.sampler, steps=args.steps, cfg_scale=args.cfg_scale,
+                       schedule=args.schedule,
+                       denoising_strength=getattr(args, "denoising_strength", 0.75))
+    return td, tv, sp, regions
+
+
+def _seed(args) -> int:
+    if args.seed is None or args.seed == -1:
+        return int(np.random.default_rng().integers(0, 2**31 - 1))
+    return args.seed
+
+
+def _region_conds(conditioner, regions, args, steps):
+    out = []
+    for r in regions:
+        out.append(conditioner.region_pair(args.prompt, r.prompt, r.neg_prompt,
+                                           args.negative, steps))
+    return out
+
+
+def _save(images: np.ndarray, path: str, info: dict):
+    from PIL import Image, PngImagePlugin
+
+    meta = PngImagePlugin.PngInfo()
+    meta.add_text("parameters", json.dumps(info))
+    for i, img in enumerate(images):
+        p = path if images.shape[0] == 1 else path.replace(".png", f"_{i}.png")
+        Image.fromarray(img).save(p, pnginfo=meta)
+        print(f"saved {p}", file=sys.stderr)
+
+
+def cmd_txt2img(args):
+    from .utils.telemetry import perfcount
+
+    pipe, conditioner = _load(args)
+    td, tv, sp, regions = _configs(args)
+    cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
+    rc = _region_conds(conditioner, regions, args, sp.steps)
+    seed = _seed(args)
+    with perfcount("Tiled Diffusion"):
+        res = pipe.txt2img(cond, uncond, args.width, args.height, sp, seed,
+                           tiled_diffusion=td, tiled_vae=tv, region_conds=rc)
+    _save(res.images, args.out, res.info)
+
+
+def cmd_img2img(args):
+    from PIL import Image
+
+    from .utils.telemetry import perfcount
+
+    pipe, conditioner = _load(args)
+    td, tv, sp, regions = _configs(args)
+    cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
+    rc = _region_conds(conditioner, regions, args, sp.steps)
+    img = np.asarray(Image.open(args.init).convert("RGB"))
+    seed = _seed(args)
+    with perfcount("Tiled Diffusion"):
+        res = pipe.img2img(img, cond, uncond, sp, seed, tiled_diffusion=td,
+                           tiled_vae=tv, region_conds=rc)
+    _save(res.images, args.out, res.info)
+
+
+def cmd_demofusion(args):
+    from .config import DemoFusionConfig
+    from .utils.telemetry import perfcount
+
+    pipe, conditioner = _load(args)
+    _, tv, sp, _ = _configs(args)
+    cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
+    cfg = DemoFusionConfig(
+        window_size=args.window_size, overlap=args.overlap,
+        scale_factor=args.scale, cosine_scale_1=args.cosine_scale_1,
+        cosine_scale_2=args.cosine_scale_2, cosine_scale_3=args.cosine_scale_3,
+        sigma=args.sigma, random_jitter=not args.no_jitter, mixture=args.mixture,
+        denoise_strengths=tuple(args.denoise_strengths))
+    seed = _seed(args)
+    with perfcount("DemoFusion"):
+        res = pipe.demofusion(cond, uncond, args.width, args.height, cfg, sp,
+                              seed, tiled_vae=tv)
+    for i, imgs in enumerate(res.images):
+        _save(imgs, args.out.replace(".png", f"_scale{i+1}.png"), res.info)
+
+
+def cmd_vae_roundtrip(args):
+    from PIL import Image
+
+    from .models.vae import sample_from_moments
+    from .utils.telemetry import perfcount
+    import jax
+
+    pipe, _ = _load(args)
+    _, tv, _, _ = _configs(args)
+    from .utils.image import image_to_tensor, tensor_to_image
+
+    x = image_to_tensor(np.asarray(Image.open(args.image).convert("RGB")))
+    with perfcount("Tiled VAE encode"):
+        moments = pipe._encode(x, tv)
+    z = sample_from_moments(moments, jax.random.PRNGKey(0))
+    with perfcount("Tiled VAE decode"):
+        img = pipe._decode(z * pipe.vae.cfg.scaling_factor, tv)
+    _save(img, args.out, {"roundtrip": True})
+
+
+def main(argv: Optional[List[str]] = None):
+    ap = argparse.ArgumentParser(prog="mdu_tpu",
+                                 description="TPU-native tiled diffusion upscaler")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("txt2img", help="tiled text-to-image (panoramas, 2K-8K)")
+    _add_common(t)
+    t.add_argument("-W", "--width", type=int, default=512)
+    t.add_argument("-H", "--height", type=int, default=512)
+    t.set_defaults(fn=cmd_txt2img)
+
+    i = sub.add_parser("img2img", help="tiled image-to-image upscaling")
+    _add_common(i)
+    i.add_argument("--init", required=True, help="input image")
+    i.add_argument("--upscaler", default="Lanczos",
+                   choices=["None", "Nearest", "Bilinear", "Bicubic", "Lanczos"])
+    i.add_argument("--scale-factor", type=float, default=2.0)
+    i.add_argument("--denoising-strength", type=float, default=0.75)
+    i.add_argument("--noise-inverse", action="store_true")
+    i.add_argument("--noise-inverse-steps", type=int, default=10)
+    i.add_argument("--noise-inverse-retouch", type=float, default=1.0)
+    i.add_argument("--noise-inverse-renoise-strength", type=float, default=1.0)
+    i.add_argument("--noise-inverse-renoise-kernel", type=int, default=64)
+    i.set_defaults(fn=cmd_img2img)
+
+    d = sub.add_parser("demofusion", help="DemoFusion progressive upscaling")
+    _add_common(d)
+    d.add_argument("-W", "--width", type=int, default=1024)
+    d.add_argument("-H", "--height", type=int, default=1024)
+    d.add_argument("--scale", type=int, default=3)
+    d.add_argument("--window-size", type=int, default=128)
+    d.add_argument("--cosine-scale-1", type=float, default=3.0)
+    d.add_argument("--cosine-scale-2", type=float, default=1.0)
+    d.add_argument("--cosine-scale-3", type=float, default=1.0)
+    d.add_argument("--sigma", type=float, default=0.6)
+    d.add_argument("--no-jitter", action="store_true")
+    d.add_argument("--mixture", action="store_true")
+    d.add_argument("--denoise-strengths", type=float, nargs="+", default=[0.45])
+    d.set_defaults(fn=cmd_demofusion)
+
+    v = sub.add_parser("vae-roundtrip", help="tiled VAE encode+decode check")
+    _add_common(v)
+    v.add_argument("--image", required=True)
+    v.set_defaults(fn=cmd_vae_roundtrip)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,12 +60,29 @@ def chunked_sdpa(
     return out[..., :L, :]
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+# flip the Pallas kernel on/off globally (e.g. for A/B benchmarking)
+USE_FLASH_ATTENTION = True
+FLASH_MIN_SEQ = 512
+
+
 def multi_head_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     num_heads: int,
     q_chunk: Optional[int] = None,
 ) -> jnp.ndarray:
-    """[B, L, H*D] qkv -> attention output [B, L, H*D]."""
+    """[B, L, H*D] qkv -> attention output [B, L, H*D].
+
+    Dispatch: Pallas flash kernel on TPU for long sequences (the hot VAE /
+    UNet self-attention path), full fused SDPA for short ones, serial
+    query chunking as the bounded-memory fallback elsewhere.
+    """
     B, Lq, HD = q.shape
     Lk = k.shape[1]
     D = HD // num_heads
@@ -74,7 +91,12 @@ def multi_head_attention(
         return x.reshape(B, L, num_heads, D).transpose(0, 2, 1, 3)
 
     qh, kh, vh = split(q, Lq), split(k, Lk), split(v, Lk)
-    if q_chunk is not None:
+    if (USE_FLASH_ATTENTION and _on_tpu()
+            and Lq >= FLASH_MIN_SEQ and Lk >= FLASH_MIN_SEQ):
+        from .pallas import flash_attention
+
+        out = flash_attention(qh, kh, vh)
+    elif q_chunk is not None:
         out = chunked_sdpa(qh, kh, vh, q_chunk=q_chunk)
     else:
         out = sdpa(qh, kh, vh)

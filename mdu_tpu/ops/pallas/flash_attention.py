@@ -1,0 +1,112 @@
+"""Pallas TPU flash attention (forward, non-causal).
+
+The TPU-native replacement for the reference's VRAM-adaptive attention
+backends (ref tile_utils/attn.py:19-183): one online-softmax kernel whose
+live memory is O(block^2) regardless of sequence length — the blockwise
+generalization of attn.py:95-147's query chunking, running from VMEM with
+fp32 accumulators on the MXU.
+
+Grid: (batch*heads, q_blocks, kv_blocks); the kv axis is innermost, so the
+running max / denominator / accumulator live in VMEM scratch across kv
+steps (the canonical TPU flash-attention accumulation pattern).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale: float, kv_len: int, block_k: int):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                       # [bq, d]
+    k = k_ref[0]                       # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [bq, bk]
+
+    # mask padded kv rows in the final block
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:]                  # [bq, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)             # [bq, bk]
+    corr = jnp.exp(m_prev - m_new)     # [bq, 1]
+
+    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q kᵀ scale) v for [B, H, L, D] inputs, O(block²) live memory."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+
+    bq = min(block_q, _round_up(Lq, 128))
+    bk = min(block_k, _round_up(Lk, 128))
+    Dp = _round_up(D, 128)
+    Lqp = _round_up(Lq, bq)
+    Lkp = _round_up(Lk, bk)
+
+    def prep(x, Lp):
+        x = x.reshape(B * H, x.shape[2], D)
+        return jnp.pad(x, ((0, 0), (0, Lp - x.shape[1]), (0, Dp - D)))
+
+    qp, kp, vp = prep(q, Lqp), prep(k, Lkp), prep(v, Lkp)
+
+    grid = (B * H, Lqp // bq, Lkp // bk)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_len=Lk, block_k=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, Dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, Dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, Dp), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, Dp), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lqp, Dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, Dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :Lq, :D].reshape(B, H, Lq, D)
