@@ -97,6 +97,9 @@ class DiffusionPipeline:
         self.controlnet = controlnet
         self.controlnet_params = controlnet_params
         self.noise_inverse_cache: Optional[NoiseInverseCache] = None
+        # jit-executable cache: keyed by static generation config so repeated
+        # calls with new prompts/seeds reuse the compiled program
+        self._jit_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------- model fns
 
@@ -136,10 +139,24 @@ class DiffusionPipeline:
 
     @staticmethod
     def _as_cond_fn(c):
-        """Conds may be pytrees or step-callables (scheduled prompts)."""
+        """Conds may be plain pytrees, scheduled banks
+        ({'__bank__': tree [S,...], '__index__': [steps]}), or legacy
+        step-callables."""
         if c is None:
             return None
-        return c if callable(c) else (lambda step, _c=c: _c)
+        if callable(c):
+            return c
+        if isinstance(c, dict) and "__bank__" in c:
+            bank, idx = c["__bank__"], c["__index__"]
+            extra = {k: v for k, v in c.items() if k not in ("__bank__", "__index__")}
+
+            def cond_fn(step):
+                v = idx[jnp.clip(step, 0, idx.shape[0] - 1)]
+                sel = jax.tree.map(lambda b: b[v][None], bank)
+                return {**sel, **extra}
+
+            return cond_fn
+        return lambda step, _c=c: _c
 
     def _make_denoised_fn(
         self,
@@ -205,6 +222,17 @@ class DiffusionPipeline:
         return make_tiled_denoiser(plan, tile_denoise,
                                    region_denoise if plan.regions else None, org_fn)
 
+    def _cached_jit(self, key, builder):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(builder())
+            self._jit_cache[key] = fn
+        return fn
+
+    @staticmethod
+    def _cacheable(*conds) -> bool:
+        return not any(callable(c) for c in conds)
+
     def _plan(self, td: Optional[TiledDiffusionConfig], h: int, w: int):
         if td is None or not td.enabled:
             return None
@@ -231,6 +259,7 @@ class DiffusionPipeline:
         region_conds: Sequence[Tuple[Cond, Optional[Cond]]] = (),
         region_unet_params: Optional[Sequence[Any]] = None,
         decode: bool = True,
+        step_callback=None,
     ) -> GenerationResult:
         sp = sampler or SamplerConfig()
         h, w = height // 8, width // 8
@@ -248,17 +277,33 @@ class DiffusionPipeline:
         x = noise * sigmas[0]
         skey = jax.random.fold_in(key, 7)
 
-        def run(uparams, rparams, x):
-            den_fn = self._make_denoised_fn(plan, cond, uncond, sp.cfg_scale,
-                                            region_conds, latent_hw=(h, w),
-                                            unet_params=uparams,
-                                            region_unet_params=rparams)
-            if sp.name in STOCHASTIC_SAMPLERS:
-                return sampler_fn(den_fn, x, sigmas, skey)
-            return sampler_fn(den_fn, x, sigmas)
+        def builder():
+            def run(uparams, rparams, c, u, rc, sigmas, x, skey):
+                den_fn = self._make_denoised_fn(plan, c, u, sp.cfg_scale,
+                                                rc, latent_hw=(h, w),
+                                                unet_params=uparams,
+                                                region_unet_params=rparams)
+                if sp.name in STOCHASTIC_SAMPLERS:
+                    return sampler_fn(den_fn, x, sigmas, skey, step_callback=step_callback)
+                return sampler_fn(den_fn, x, sigmas, step_callback=step_callback)
 
-        latents = jax.jit(run)(self.unet_params,
-                               tuple(region_unet_params or ()) or None, x)
+            return run
+
+        rparams = tuple(region_unet_params or ()) or None
+        if self._cacheable(cond, uncond, *(c for p in region_conds for c in p)):
+            jkey = ("txt2img", plan.cache_key() if plan else (h, w), sp.name,
+                    sp.cfg_scale, uncond is None, len(region_conds),
+                    id(step_callback) if step_callback else None)
+            runner = self._cached_jit(jkey, builder)
+            latents = runner(self.unet_params, rparams, cond, uncond,
+                             tuple(region_conds), sigmas, x, skey)
+        else:
+            # legacy callable conds cannot cross the jit boundary: bake them in
+            run = builder()
+            latents = jax.jit(
+                lambda up, rp, sg, xx, sk: run(up, rp, cond, uncond,
+                                               tuple(region_conds), sg, xx, sk)
+            )(self.unet_params, rparams, sigmas, x, skey)
         images = self._decode(latents, tiled_vae) if decode else None
         info = self._info(sp, tiled_diffusion, seed)
         return GenerationResult(images, latents, seed, info)
@@ -278,6 +323,7 @@ class DiffusionPipeline:
         region_unet_params: Optional[Sequence[Any]] = None,
         inversion_cond: Optional[Cond] = None,
         decode: bool = True,
+        step_callback=None,
     ) -> GenerationResult:
         sp = sampler or SamplerConfig()
         td = tiled_diffusion
@@ -317,17 +363,33 @@ class DiffusionPipeline:
         x = init_latent + noise * sigmas[0]
         skey = jax.random.fold_in(key, 7)
 
-        def run(uparams, rparams, x):
-            den_fn = self._make_denoised_fn(plan, cond, uncond, sp.cfg_scale,
-                                            region_conds, latent_hw=(h, w),
-                                            unet_params=uparams,
-                                            region_unet_params=rparams)
-            if sp.name in STOCHASTIC_SAMPLERS:
-                return sampler_fn(den_fn, x, sigmas, skey)
-            return sampler_fn(den_fn, x, sigmas)
+        def builder():
+            def run(uparams, rparams, c, u, rc, sigmas, x, skey):
+                den_fn = self._make_denoised_fn(plan, c, u, sp.cfg_scale,
+                                                rc, latent_hw=(h, w),
+                                                unet_params=uparams,
+                                                region_unet_params=rparams)
+                if sp.name in STOCHASTIC_SAMPLERS:
+                    return sampler_fn(den_fn, x, sigmas, skey, step_callback=step_callback)
+                return sampler_fn(den_fn, x, sigmas, step_callback=step_callback)
 
-        latents = jax.jit(run)(self.unet_params,
-                               tuple(region_unet_params or ()) or None, x)
+            return run
+
+        rparams = tuple(region_unet_params or ()) or None
+        if self._cacheable(cond, uncond, *(c for p in region_conds for c in p)):
+            jkey = ("img2img", plan.cache_key() if plan else (h, w), sp.name,
+                    sp.cfg_scale, uncond is None, len(region_conds),
+                    id(step_callback) if step_callback else None)
+            runner = self._cached_jit(jkey, builder)
+            latents = runner(self.unet_params, rparams, cond, uncond,
+                             tuple(region_conds), sigmas, x, skey)
+        else:
+            # legacy callable conds cannot cross the jit boundary: bake them in
+            run = builder()
+            latents = jax.jit(
+                lambda up, rp, sg, xx, sk: run(up, rp, cond, uncond,
+                                               tuple(region_conds), sg, xx, sk)
+            )(self.unet_params, rparams, sigmas, x, skey)
         images = self._decode(latents, tiled_vae) if decode else None
         info = self._info(sp, td, seed)
         return GenerationResult(images, latents, seed, info)
@@ -451,26 +513,36 @@ class DiffusionPipeline:
     # ------------------------------------------------------------------- VAE
 
     def _decode(self, latents: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> np.ndarray:
-        def run(vp, z):
-            z = z / self.vae.cfg.scaling_factor
-            if tv is not None and tv.enabled:
-                return tiled_vae_decode(self.vae, vp, z,
-                                        tile_size=tv.decoder_tile_size,
-                                        fast=tv.fast_decoder, tile_batch=tv.tile_batch)
-            return self.vae.apply(vp, z, method=self.vae.decode)
+        def builder():
+            def run(vp, z):
+                z = z / self.vae.cfg.scaling_factor
+                if tv is not None and tv.enabled:
+                    return tiled_vae_decode(self.vae, vp, z,
+                                            tile_size=tv.decoder_tile_size,
+                                            fast=tv.fast_decoder, tile_batch=tv.tile_batch)
+                return self.vae.apply(vp, z, method=self.vae.decode)
 
-        return tensor_to_image(jax.jit(run)(self.vae_params, latents))
+            return run
+
+        jkey = ("decode", None if tv is None else
+                (tv.enabled, tv.decoder_tile_size, tv.fast_decoder, tv.tile_batch))
+        return tensor_to_image(self._cached_jit(jkey, builder)(self.vae_params, latents))
 
     def _encode(self, x_img: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> jnp.ndarray:
-        def run(vp, x):
-            if tv is not None and tv.enabled:
-                return tiled_vae_encode_moments(self.vae, vp, x,
-                                                tile_size=tv.encoder_tile_size,
-                                                fast=tv.fast_encoder,
-                                                tile_batch=tv.tile_batch)
-            return self.vae.apply(vp, x, method=self.vae.encode_moments)
+        def builder():
+            def run(vp, x):
+                if tv is not None and tv.enabled:
+                    return tiled_vae_encode_moments(self.vae, vp, x,
+                                                    tile_size=tv.encoder_tile_size,
+                                                    fast=tv.fast_encoder,
+                                                    tile_batch=tv.tile_batch)
+                return self.vae.apply(vp, x, method=self.vae.encode_moments)
 
-        return jax.jit(run)(self.vae_params, x_img)
+            return run
+
+        jkey = ("encode", None if tv is None else
+                (tv.enabled, tv.encoder_tile_size, tv.fast_encoder, tv.tile_batch))
+        return self._cached_jit(jkey, builder)(self.vae_params, x_img)
 
     # ------------------------------------------------------------------ misc
 

@@ -9,6 +9,9 @@ Implemented: Euler, Euler a (ancestral), Heun, DPM++ 2M, DDIM (deterministic
 probability-flow update in VE coordinates; eta adds ancestral noise).
 MultiDiffusion/DemoFusion exclude UniPC in the reference
 (multidiffusion.py:13, demofusion.py:18); UniPC is intentionally absent.
+All samplers accept ``step_callback(step_index, x)`` — invoked host-side via
+`jax.debug.callback` after every step (the analogue of A1111's progress bar +
+store_latent previews the reference relies on, SURVEY.md §5).
 """
 from __future__ import annotations
 
@@ -18,6 +21,12 @@ import jax
 import jax.numpy as jnp
 
 DenoisedStepFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+StepCallback = Callable[[int, jnp.ndarray], None]
+
+
+def _notify(cb: Optional[StepCallback], i, x):
+    if cb is not None:
+        jax.debug.callback(cb, i, x)
 
 
 def _to_sigma_pairs(sigmas: jnp.ndarray):
@@ -25,14 +34,17 @@ def _to_sigma_pairs(sigmas: jnp.ndarray):
 
 
 def sample_euler(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
-                 key: Optional[jax.Array] = None) -> jnp.ndarray:
+                 key: Optional[jax.Array] = None,
+                 step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
     sig, sig_next = _to_sigma_pairs(sigmas)
 
     def body(x, inp):
         i, s, sn = inp
         den = denoised_fn(x, s, i)
         d = (x - den) / s
-        return x + d * (sn - s), None
+        x = x + d * (sn - s)
+        _notify(step_callback, i, x)
+        return x, None
 
     steps = jnp.arange(sig.shape[0])
     x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))
@@ -41,7 +53,8 @@ def sample_euler(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarra
 
 def sample_euler_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
                            sigmas: jnp.ndarray, key: jax.Array,
-                           eta: float = 1.0) -> jnp.ndarray:
+                           eta: float = 1.0,
+                           step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
     sig, sig_next = _to_sigma_pairs(sigmas)
 
     def body(carry, inp):
@@ -54,6 +67,7 @@ def sample_euler_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
         x = x + d * (down - s)
         k, sub = jax.random.split(k)
         x = x + jax.random.normal(sub, x.shape, x.dtype) * up
+        _notify(step_callback, i, x)
         return (x, k), None
 
     steps = jnp.arange(sig.shape[0])
@@ -62,7 +76,8 @@ def sample_euler_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
 
 
 def sample_heun(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
-                key: Optional[jax.Array] = None) -> jnp.ndarray:
+                key: Optional[jax.Array] = None,
+                step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
     sig, sig_next = _to_sigma_pairs(sigmas)
 
     def body(x, inp):
@@ -77,6 +92,7 @@ def sample_heun(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray
             return x + 0.5 * (d + d2) * (sn - s)
 
         x = jax.lax.cond(sn > 0, heun_correct, lambda _: x_euler, None)
+        _notify(step_callback, i, x)
         return x, None
 
     steps = jnp.arange(sig.shape[0])
@@ -85,7 +101,8 @@ def sample_heun(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray
 
 
 def sample_dpmpp_2m(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
-                    key: Optional[jax.Array] = None) -> jnp.ndarray:
+                    key: Optional[jax.Array] = None,
+                    step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
     """DPM-Solver++(2M), k-diffusion formulation."""
     sig, sig_next = _to_sigma_pairs(sigmas)
 
@@ -114,6 +131,7 @@ def sample_dpmpp_2m(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.nda
         x_new = jax.lax.cond(
             jnp.logical_and(have_old, sn > 0), second,
             lambda _: jax.lax.cond(sn > 0, first, lambda __: den, None), None)
+        _notify(step_callback, i, x_new)
         return (x_new, den, jnp.bool_(True)), None
 
     steps = jnp.arange(sig.shape[0])
@@ -123,18 +141,22 @@ def sample_dpmpp_2m(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.nda
 
 
 def sample_ddim(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
-                key: Optional[jax.Array] = None, eta: float = 0.0) -> jnp.ndarray:
+                key: Optional[jax.Array] = None, eta: float = 0.0,
+                step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
     """DDIM in VE coordinates: x' = den + sigma_next * eps_hat (deterministic
     part); eta>0 mixes in ancestral noise like the classic eta-DDIM."""
     if eta > 0.0 and key is not None:
-        return sample_euler_ancestral(denoised_fn, x, sigmas, key, eta)
+        return sample_euler_ancestral(denoised_fn, x, sigmas, key, eta,
+                                      step_callback=step_callback)
     sig, sig_next = _to_sigma_pairs(sigmas)
 
     def body(x, inp):
         i, s, sn = inp
         den = denoised_fn(x, s, i)
         eps = (x - den) / s
-        return den + sn * eps, None
+        x = den + sn * eps
+        _notify(step_callback, i, x)
+        return x, None
 
     steps = jnp.arange(sig.shape[0])
     x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))

@@ -112,13 +112,10 @@ class TextConditioner:
                 for v, (end, _) in enumerate(sched):
                     idx[start:end] = v
                     start = end
-                idx = jnp.asarray(idx)
-
-                def cond_fn(step):
-                    v = idx[jnp.clip(step, 0, steps - 1)]
-                    return {"crossattn": bank[v][None], **extra}
-
-                return cond_fn
+                # scheduled-cond bank pytree: the pipeline selects bank[idx[step]]
+                # inside jit, so the whole cond stays a jit argument (cacheable)
+                return {"__bank__": {"crossattn": bank},
+                        "__index__": jnp.asarray(idx), **extra}
         z, pooled = self.encode([prompt])
         return {"crossattn": z, **extra}
 

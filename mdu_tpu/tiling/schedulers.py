@@ -69,6 +69,12 @@ class DiffusionTilePlan:
     def num_batches(self) -> int:
         return len(self.batched)
 
+    def cache_key(self):
+        """Hashable geometry key for jit-executable caching."""
+        return (self.method, self.h, self.w, self.tile_h, self.tile_w,
+                self.overlap, self.tile_bs, self.draw_background,
+                self.bboxes, self.regions)
+
     @property
     def total_units(self) -> int:
         """Progress units per sampling step (ref abstractdiffusion.py:112-115)."""

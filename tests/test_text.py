@@ -102,13 +102,15 @@ def test_conditioner_scheduled_cond():
     params = random_params(model, 0, jnp.zeros((1, cfg.max_length), jnp.int32))
     tc = TextConditioner(model, params)
     c = tc.cond("a [cat:dog:2] photo", steps=4)
-    assert callable(c)
-    c0 = c(jnp.asarray(0))["crossattn"]
-    c3 = c(jnp.asarray(3))["crossattn"]
+    assert isinstance(c, dict) and "__bank__" in c
+    from mdu_tpu.pipeline import DiffusionPipeline
+    cond_fn = DiffusionPipeline._as_cond_fn(c)
+    c0 = cond_fn(jnp.asarray(0))["crossattn"]
+    c3 = cond_fn(jnp.asarray(3))["crossattn"]
     assert np.abs(np.asarray(c0) - np.asarray(c3)).max() > 1e-6
     # unscheduled -> plain pytree
     c2 = tc.cond("a cat", steps=4)
-    assert not callable(c2)
+    assert "__bank__" not in c2
 
 
 def test_scheduled_cond_through_pipeline():
