@@ -146,6 +146,8 @@ class DiffusionPipeline:
             return None
         if callable(c):
             return c
+        if isinstance(c, dict) and "__and__" in c:
+            return lambda step, _c=c: _c
         if isinstance(c, dict) and "__bank__" in c:
             bank, idx = c["__bank__"], c["__index__"]
             extra = {k: v for k, v in c.items() if k not in ("__bank__", "__index__")}
@@ -187,6 +189,24 @@ class DiffusionPipeline:
         def guided(x, sigma, c, u, den_=den):
             B = x.shape[0]
             s = jnp.broadcast_to(jnp.atleast_1d(sigma), (B,))
+            if isinstance(c, dict) and "__and__" in c:
+                # composable diffusion (A1111 'AND'): den = den_u +
+                # cfg * sum_i w_i (den_i - den_u)
+                parts, wts = c["__and__"], c["__weights__"]
+                P = len(parts)
+                xs = jnp.concatenate([x] * (P + 1), axis=0)
+                ss = jnp.concatenate([s] * (P + 1), axis=0)
+                cc = parts[0]
+                for extra_c in parts[1:]:
+                    cc = concat_conds(cc, extra_c)
+                cc = concat_conds(cc, u if u is not None else parts[0])
+                d = den_(xs, ss, cc)
+                dens = jnp.split(d, P + 1, axis=0)
+                du = dens[-1] if u is not None else jnp.zeros_like(dens[0])
+                out = du
+                for dc, wt in zip(dens[:P], wts):
+                    out = out + cfg_scale * wt * (dc - du)
+                return out
             if u is None or cfg_scale == 1.0:
                 return den_(x, s, c)
             x2 = jnp.concatenate([x, x], axis=0)

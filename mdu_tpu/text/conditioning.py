@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.clip import CLIPTextModel
-from .prompt import parse_prompt_attention, parse_prompt_schedule
+from .prompt import parse_prompt_attention, parse_prompt_schedule, split_composable
 from .tokenizer import CLIPTokenizer, HashTokenizer
 
 Cond = Dict[str, Any]
@@ -100,8 +100,16 @@ class TextConditioner:
 
     def cond(self, prompt: str, steps: Optional[int] = None,
              extra: Optional[Cond] = None) -> CondOrFn:
-        """Cond pytree; a step-callable when the prompt is scheduled."""
+        """Cond pytree; a scheduled bank when the prompt has [a:b:N] syntax;
+        a composable dict when it has AND branches (weights applied in the
+        guided denoiser as composable diffusion)."""
         extra = extra or {}
+        parts = split_composable(prompt)
+        if len(parts) > 1:
+            # AND branches are encoded unscheduled (scheduling inside an AND
+            # branch is not supported; the reference's combination is rare)
+            return {"__and__": [self.cond(p.text, None, extra) for p in parts],
+                    "__weights__": tuple(p.weight for p in parts)}
         if steps is not None:
             sched = parse_prompt_schedule(prompt, steps)
             if len(sched) > 1:

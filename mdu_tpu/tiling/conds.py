@@ -48,6 +48,10 @@ def tile_cond(cond: Optional[Cond], bboxes: Sequence[BBox],
     """Build the cond pytree for a tile batch (tile-major on the batch axis)."""
     if cond is None:
         return None
+    if isinstance(cond, dict) and "__and__" in cond:
+        # composable (AND) conds: slice each branch, keep weights untouched
+        return {"__and__": [tile_cond(p, bboxes, latent_hw) for p in cond["__and__"]],
+                "__weights__": cond["__weights__"]}
     return jax.tree.map(lambda leaf: _slice_leaf(leaf, bboxes, latent_hw), cond)
 
 

@@ -180,16 +180,32 @@ def tiled_vae_decode(
 def tiled_vae_encode_moments(
     vae: AutoencoderKL, params: Any, x: jnp.ndarray,
     tile_size: int = 1536, fast: bool = False, tile_batch: int = 8,
+    color_fix: bool = False,
     reference_pooling: bool = False,
 ) -> jnp.ndarray:
-    """Encode [B,3,H,W] images -> [B,8,H/8,W/8] gaussian moments."""
+    """Encode [B,3,H,W] images -> [B,8,H/8,W/8] gaussian moments.
+
+    ``color_fix`` (fast encoder only, ref tilevae.py:492-496): estimated
+    stats are used only *before* the first downsample; deeper norms fall back
+    to exact cross-tile pooling — fixes color shifts at the cost of lockstep
+    memory.
+    """
     B = x.shape[0]
     plan = plan_vae_tiles(x.shape[2], x.shape[3], tile_size, ENCODER_PAD)
     if plan is None:
         return vae.apply(params, x, method=vae.encode_moments)
 
     tiles = _gather_plan_tiles(x, plan)
-    if fast:
+    if fast and color_fix:
+        stats = _estimate_stats(vae, params, x, tile_size, vae.encode_moments)
+        stats = _filter_pre_downsample(stats)
+        ctx = TileContext(plan.num_tiles, (plan.in_h, plan.in_w),
+                          jnp.asarray(plan.local_masks()),
+                          reference_pooling=reference_pooling)
+        variables = dict(params)
+        variables["gn_stats"] = stats
+        out_tiles = vae.apply(variables, tiles, ctx, method=vae.encode_moments)
+    elif fast:
         stats = _estimate_stats(vae, params, x, tile_size, vae.encode_moments)
         out_tiles = _map_tiles_with_stats(vae, params, stats, tiles, plan,
                                           vae.encode_moments, tile_batch, B)
@@ -199,6 +215,17 @@ def tiled_vae_encode_moments(
                           reference_pooling=reference_pooling)
         out_tiles = vae.apply(params, tiles, ctx, method=vae.encode_moments)
     return _scatter_owned(out_tiles, plan, 1, 8, 2 * vae.cfg.latent_channels, B)
+
+
+def _filter_pre_downsample(stats: Any) -> Any:
+    """Keep estimated stats only for norms before the encoder's first
+    downsample (the 'color fix' boundary, ref tilevae.py:492-496)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(stats, sep="/")
+    kept = {k: v for k, v in flat.items()
+            if "down_0_block" in k or k.startswith("encoder/conv_in")}
+    return traverse_util.unflatten_dict(kept, sep="/")
 
 
 def _map_tiles_with_stats(vae, params, stats, tiles, plan, method, tile_batch, B):

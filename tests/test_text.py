@@ -138,3 +138,35 @@ def test_scheduled_cond_through_pipeline():
     res = pipe.txt2img(cond, uncond, 256, 128, SamplerConfig(steps=4), seed=1,
                        tiled_diffusion=td, decode=False)
     assert np.isfinite(np.asarray(res.latents)).all()
+
+
+def test_and_composable_cond_through_pipeline():
+    from mdu_tpu.config import SamplerConfig, TiledDiffusionConfig
+    from mdu_tpu.models import (AutoencoderKL, UNet2DCondition,
+                                tiny_unet_config, tiny_vae_config)
+    from mdu_tpu.pipeline import DiffusionPipeline
+
+    ucfg = tiny_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(tiny_vae_config())
+    up = random_params(unet, 0, jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
+                       jnp.zeros((1, 16, ucfg.cross_attention_dim)))
+    vp = random_params(vae, 1, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
+    pipe = DiffusionPipeline(unet, up, vae, vp)
+
+    ccfg = tiny_clip_config()
+    cmodel = CLIPTextModel(ccfg)
+    cparams = random_params(cmodel, 2, jnp.zeros((1, ccfg.max_length), jnp.int32))
+    tc = TextConditioner(cmodel, cparams)
+
+    cond = tc.cond("a cat AND a dog:0.5")
+    assert "__and__" in cond and cond["__weights__"] == (1.0, 0.5)
+    uncond = tc.cond("blurry")
+    td = TiledDiffusionConfig(tile_w=16, tile_h=16, overlap=8, tile_bs=2)
+    res = pipe.txt2img(cond, uncond, 128, 128, SamplerConfig(steps=2), seed=1,
+                       tiled_diffusion=td, decode=False)
+    assert np.isfinite(np.asarray(res.latents)).all()
+    # AND result differs from the first branch alone
+    res2 = pipe.txt2img(tc.cond("a cat"), uncond, 128, 128, SamplerConfig(steps=2),
+                        seed=1, tiled_diffusion=td, decode=False)
+    assert np.abs(np.asarray(res.latents) - np.asarray(res2.latents)).max() > 1e-5

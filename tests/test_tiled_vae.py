@@ -99,3 +99,18 @@ def test_batch_dimension(vae_and_params):
     single = jax.jit(lambda z: tiled_vae_decode(vae, params, z, tile_size=24))(z[:1])
     np.testing.assert_allclose(np.asarray(out[:1]), np.asarray(single),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_color_fix_encode(vae_and_params):
+    from mdu_tpu.tiling import tiled_vae_encode_moments
+
+    vae, params = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 3, 256, 256)) * 0.3
+    out = jax.jit(lambda x: tiled_vae_encode_moments(
+        vae, params, x, tile_size=128, fast=True, color_fix=True))(x)
+    exact = jax.jit(lambda x: tiled_vae_encode_moments(
+        vae, params, x, tile_size=128))(x)
+    assert out.shape == exact.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # hybrid mode sits between fast and exact; loose sanity bound
+    assert np.abs(np.asarray(out) - np.asarray(exact)).mean() < 0.5
