@@ -16,6 +16,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/mdu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 BASELINE_IMG_PER_MIN = 6.0
 
 

@@ -78,7 +78,10 @@ def tile_group_norm(
         n = (jnp.sum(mm, axis=(2, 3, 4)) * (C // G)).reshape(TB, 1) * jnp.ones((1, G))
         s1 = jnp.sum(xf * mm, axis=(2, 3, 4))
         s2 = jnp.sum(xf * xf * mm, axis=(2, 3, 4))
-        mean_t, meansq_t, n_t = s1 / n, s2 / n, n
+        # all-zero masks (sharding pad tiles) contribute weight 0; keep their
+        # per-tile moments finite so NaNs don't poison the pooled psum
+        n_safe = jnp.maximum(n, 1.0)
+        mean_t, meansq_t, n_t = s1 / n_safe, s2 / n_safe, n
     else:
         mean_t, meansq_t, n_t = group_stats(x, G)
 

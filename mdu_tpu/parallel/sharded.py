@@ -101,3 +101,53 @@ def shard_vae_tiles(mesh: Mesh, num_tiles: int) -> Tuple[int, NamedSharding]:
     n_dev = mesh.shape["tiles"]
     t_pad = -(-num_tiles // n_dev) * n_dev
     return t_pad, NamedSharding(mesh, P("tiles"))
+
+
+def sharded_tiled_vae_decode(
+    mesh: Mesh, vae, params: Any, z: jnp.ndarray, tile_size: int = 96,
+) -> jnp.ndarray:
+    """Tile-sharded exact tiled-VAE decode: tiles split over the mesh, the
+    GroupNorm statistics pooled by `psum` over ICI (TileContext.axis_name).
+
+    Padding tiles (repeats of the last tile) carry zero owned-region masks,
+    so they contribute nothing to the pooled statistics or the output.
+    """
+    from ..tiling.tiled_vae import (
+        DECODER_PAD,
+        VAETilePlan,
+        _gather_plan_tiles,
+        _scatter_owned,
+        plan_vae_tiles,
+    )
+    from ..ops.tile_context import TileContext
+
+    B = z.shape[0]
+    plan = plan_vae_tiles(z.shape[2], z.shape[3], tile_size, DECODER_PAD)
+    if plan is None:
+        return vae.apply(params, z, method=vae.decode)
+
+    n_dev = mesh.shape["tiles"]
+    T = plan.num_tiles
+    T_pad = -(-T // n_dev) * n_dev
+
+    tiles = _gather_plan_tiles(z, plan)                 # [T*B, C, th, tw]
+    masks = np.asarray(plan.local_masks())              # [T, 1, th, tw]
+    if T_pad > T:
+        reps = T_pad - T
+        tiles = jnp.concatenate(
+            [tiles, jnp.concatenate([tiles[-B:]] * reps, axis=0)], axis=0)
+        masks = np.concatenate(
+            [masks, np.zeros((reps,) + masks.shape[1:], np.float32)], axis=0)
+    masks = jnp.asarray(masks)
+
+    t_local = T_pad // n_dev
+
+    def body(tile_shard, mask_shard):
+        ctx = TileContext(t_local, (plan.in_h, plan.in_w), mask_shard,
+                          axis_name="tiles")
+        return vae.apply(params, tile_shard, ctx, method=vae.decode)
+
+    out = jax.shard_map(body, mesh=mesh,
+                        in_specs=(P("tiles"), P("tiles")),
+                        out_specs=P("tiles"))(tiles, masks)
+    return _scatter_owned(out[: T * B], plan, 8, 1, vae.cfg.out_channels, B)

@@ -342,6 +342,7 @@ class DiffusionPipeline:
         region_conds: Sequence[Tuple[Cond, Optional[Cond]]] = (),
         region_unet_params: Optional[Sequence[Any]] = None,
         inversion_cond: Optional[Cond] = None,
+        mask: Optional[np.ndarray] = None,
         decode: bool = True,
         step_callback=None,
     ) -> GenerationResult:
@@ -383,12 +384,28 @@ class DiffusionPipeline:
         x = init_latent + noise * sigmas[0]
         skey = jax.random.fold_in(key, 7)
 
+        # inpainting latent mask (A1111 masked redraw semantics): blend the
+        # denoised estimate with the original latent each step
+        latent_mask = None
+        if mask is not None:
+            m = jnp.asarray(np.asarray(mask), jnp.float32)
+            if m.ndim == 2:
+                m = m[None, None]
+            latent_mask = resize_nchw(m, (h, w), "linear")
+
         def builder():
-            def run(uparams, rparams, c, u, rc, sigmas, x, skey):
+            def run(uparams, rparams, c, u, rc, sigmas, x, skey, init_mask):
                 den_fn = self._make_denoised_fn(plan, c, u, sp.cfg_scale,
                                                 rc, latent_hw=(h, w),
                                                 unet_params=uparams,
                                                 region_unet_params=rparams)
+                if init_mask is not None:
+                    init_lat, lm = init_mask
+                    inner = den_fn
+
+                    def den_fn(xx, ss, ii):  # noqa: F811
+                        return init_lat * (1 - lm) + inner(xx, ss, ii) * lm
+
                 if sp.name in STOCHASTIC_SAMPLERS:
                     return sampler_fn(den_fn, x, sigmas, skey, step_callback=step_callback)
                 return sampler_fn(den_fn, x, sigmas, step_callback=step_callback)
@@ -399,17 +416,20 @@ class DiffusionPipeline:
         if self._cacheable(cond, uncond, *(c for p in region_conds for c in p)):
             jkey = ("img2img", plan.cache_key() if plan else (h, w), sp.name,
                     sp.cfg_scale, uncond is None, len(region_conds),
+                    latent_mask is not None,
                     id(step_callback) if step_callback else None)
             runner = self._cached_jit(jkey, builder)
             latents = runner(self.unet_params, rparams, cond, uncond,
-                             tuple(region_conds), sigmas, x, skey)
+                             tuple(region_conds), sigmas, x, skey,
+                             None if latent_mask is None else (init_latent, latent_mask))
         else:
             # legacy callable conds cannot cross the jit boundary: bake them in
             run = builder()
             latents = jax.jit(
-                lambda up, rp, sg, xx, sk: run(up, rp, cond, uncond,
-                                               tuple(region_conds), sg, xx, sk)
-            )(self.unet_params, rparams, sigmas, x, skey)
+                lambda up, rp, sg, xx, sk, im: run(up, rp, cond, uncond,
+                                                   tuple(region_conds), sg, xx, sk, im)
+            )(self.unet_params, rparams, sigmas, x, skey,
+              None if latent_mask is None else (init_latent, latent_mask))
         images = self._decode(latents, tiled_vae) if decode else None
         info = self._info(sp, td, seed)
         return GenerationResult(images, latents, seed, info)

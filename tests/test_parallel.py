@@ -107,3 +107,22 @@ def test_tp_param_shardings_cover_attention(rng):
     tp_specs = [k for k, v in flat.items() if v.spec != P()]
     assert any("to_q" in k for k in tp_specs), "attention q proj must be TP-sharded"
     assert any("ff" in k or "fc" in k or "proj" in k for k in tp_specs)
+
+
+def test_sharded_tiled_vae_decode_matches_single(rng):
+    import jax.numpy as jnp
+
+    from mdu_tpu.models import AutoencoderKL, random_params, tiny_vae_config
+    from mdu_tpu.parallel.sharded import sharded_tiled_vae_decode
+    from mdu_tpu.tiling import tiled_vae_decode
+
+    vae = AutoencoderKL(tiny_vae_config())
+    params = random_params(vae, 7, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
+    z = jnp.asarray(rng.normal(size=(1, 4, 48, 48)).astype(np.float32)) * 0.5
+
+    single = jax.jit(lambda z: tiled_vae_decode(vae, params, z, tile_size=24))(z)
+    mesh = make_tile_mesh(8)
+    sharded = jax.jit(lambda z: sharded_tiled_vae_decode(mesh, vae, params, z,
+                                                         tile_size=24))(z)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=2e-4, atol=2e-4)

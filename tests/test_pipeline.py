@@ -131,3 +131,30 @@ def test_region_seed_changes_noise_locally(pipe):
     b = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=7,
                      tiled_diffusion=td2, region_conds=rc, decode=False)
     assert np.abs(np.asarray(a.latents) - np.asarray(b.latents)).max() > 1e-4
+
+
+def test_img2img_inpaint_mask(pipe, rng):
+    """Masked redraw (A1111 semantics): mask==1 everywhere is a no-op;
+    mask==0 everywhere pins the result to the init latent."""
+    from mdu_tpu.models import sample_from_moments
+
+    img = (rng.uniform(0, 255, size=(128, 128, 3))).astype(np.uint8)
+    free = pipe.img2img(img, _cond(0), _cond(1), sampler=SAMPLER, seed=4,
+                        tiled_diffusion=TD, decode=False)
+    all_redraw = pipe.img2img(img, _cond(0), _cond(1), sampler=SAMPLER, seed=4,
+                              tiled_diffusion=TD,
+                              mask=np.ones((128, 128), np.float32), decode=False)
+    np.testing.assert_allclose(np.asarray(all_redraw.latents),
+                               np.asarray(free.latents), atol=1e-5)
+
+    frozen = pipe.img2img(img, _cond(0), _cond(1), sampler=SAMPLER, seed=4,
+                          tiled_diffusion=TD,
+                          mask=np.zeros((128, 128), np.float32), decode=False)
+    # with den == init everywhere, Euler's last step lands exactly on init
+    from mdu_tpu.utils.image import image_to_tensor
+    moments = pipe._encode(image_to_tensor(img), None)
+    key = jax.random.PRNGKey(4)
+    init = sample_from_moments(moments, jax.random.fold_in(key, 3))
+    init = init * pipe.vae.cfg.scaling_factor
+    np.testing.assert_allclose(np.asarray(frozen.latents), np.asarray(init),
+                               rtol=1e-3, atol=1e-4)
