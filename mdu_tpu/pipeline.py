@@ -97,6 +97,8 @@ class DiffusionPipeline:
         self.controlnet = controlnet
         self.controlnet_params = controlnet_params
         self.noise_inverse_cache: Optional[NoiseInverseCache] = None
+        self.interrupted = False      # cooperative interruption flag
+                                      # (ref state.interrupted checks, SURVEY.md §5)
         # jit-executable cache: keyed by static generation config so repeated
         # calls with new prompts/seeds reuse the compiled program
         self._jit_cache: Dict[Any, Any] = {}
@@ -186,8 +188,27 @@ class DiffusionPipeline:
                 denoised_from_model(self._model_fn(rp), self.schedule)
                 if rp is not None else den)
 
+        def _align(c, B):
+            """Repeat cond leaves so their batch matches x (image batch > 1);
+            jnp.repeat keeps tile-major, batch-minor ordering."""
+            if c is None:
+                return None
+            if isinstance(c, dict) and "__and__" in c:
+                return {"__and__": [_align(p, B) for p in c["__and__"]],
+                        "__weights__": c["__weights__"]}
+
+            def rep(leaf):
+                if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] not in (0, B) \
+                        and B % leaf.shape[0] == 0:
+                    return jnp.repeat(leaf, B // leaf.shape[0], axis=0)
+                return leaf
+
+            return jax.tree.map(rep, c)
+
         def guided(x, sigma, c, u, den_=den):
             B = x.shape[0]
+            c = _align(c, B)
+            u = _align(u, B)
             s = jnp.broadcast_to(jnp.atleast_1d(sigma), (B,))
             if isinstance(c, dict) and "__and__" in c:
                 # composable diffusion (A1111 'AND'): den = den_u +
@@ -278,6 +299,7 @@ class DiffusionPipeline:
         tiled_vae: Optional[TiledVAEConfig] = None,
         region_conds: Sequence[Tuple[Cond, Optional[Cond]]] = (),
         region_unet_params: Optional[Sequence[Any]] = None,
+        batch_size: int = 1,
         decode: bool = True,
         step_callback=None,
     ) -> GenerationResult:
@@ -286,7 +308,11 @@ class DiffusionPipeline:
         plan = self._plan(tiled_diffusion, h, w)
 
         key = jax.random.PRNGKey(seed)
-        noise = jax.random.normal(key, (1, self.unet.cfg.out_channels, h, w), jnp.float32)
+        # A1111 semantics: batch element i uses seed+i for its own noise
+        noise = jnp.concatenate([
+            jax.random.normal(jax.random.PRNGKey(seed + i),
+                              (1, self.unet.cfg.out_channels, h, w), jnp.float32)
+            for i in range(batch_size)], axis=0)
         if plan is not None and plan.regions:
             seeds = [resolve_seed(r.seed, jax.random.fold_in(key, 1000 + i))
                      for i, r in enumerate(plan.regions)]

@@ -217,6 +217,8 @@ def demofusion_generate(
     strengths = list(cfg.denoise_strengths) or [0.45]
 
     for phase_i, scale in enumerate(range(2, cfg.scale_factor + 1)):
+        if getattr(pipe, "interrupted", False):
+            break                      # cooperative interruption between phases
         H, W = h0 * scale, w0 * scale
         lat0 = resize_nchw(latents, (H, W), "cubic")
         plan = plan_demofusion_phase(H, W, scale, cfg, rng)

@@ -158,3 +158,16 @@ def test_img2img_inpaint_mask(pipe, rng):
     init = init * pipe.vae.cfg.scaling_factor
     np.testing.assert_allclose(np.asarray(frozen.latents), np.asarray(init),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_txt2img_batch(pipe):
+    res = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=11,
+                       tiled_diffusion=TD, batch_size=2, decode=False)
+    assert res.latents.shape[0] == 2
+    # element 0 matches the single-image run with the same seed
+    single = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=11,
+                          tiled_diffusion=TD, decode=False)
+    np.testing.assert_allclose(np.asarray(res.latents[:1]),
+                               np.asarray(single.latents), atol=1e-5)
+    # element 1 differs (its own seed)
+    assert np.abs(np.asarray(res.latents[1]) - np.asarray(res.latents[0])).max() > 1e-3
