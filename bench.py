@@ -75,6 +75,20 @@ def main():
     img_per_min = 60.0 / dt
     log(f"steady-state: {dt:.2f}s/image")
 
+    # secondary metric: tiled-VAE decode throughput (stderr only)
+    try:
+        z = res.latents
+        img = pipe._decode(z, tv)
+        t0 = time.time()
+        for _ in range(3):
+            img = pipe._decode(z, tv)
+        ddt = (time.time() - t0) / 3
+        mpix = img.shape[1] * img.shape[2] / 1e6
+        log(json.dumps({"metric": "tiled_vae_decode_2048x512",
+                        "value": round(mpix / ddt, 2), "unit": "Mpix/s"}))
+    except Exception as e:
+        log("vae secondary metric failed:", e)
+
     print(json.dumps({
         "metric": "sd15_multidiffusion_txt2img_2048x512_20steps",
         "value": round(img_per_min, 3),
