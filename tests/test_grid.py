@@ -70,3 +70,36 @@ def test_bbox_slicer_matches_offsets():
     x = np.arange(4 * 2 * 32 * 32).reshape(4, 2, 32, 32)
     np.testing.assert_array_equal(x[b.slicer], x[:, :, 5:16, 3:10])
     assert b.box == (3, 5, 10, 16)
+
+
+def test_8k_scale_plan_geometry():
+    """8K img2img geometry: 1024x1024 latent, default img2img knobs
+    (tile 96, overlap 8 — ref tilediffusion.py:127-132)."""
+    from mdu_tpu.config import Method
+    from mdu_tpu.tiling.schedulers import plan_tiled_diffusion
+
+    plan = plan_tiled_diffusion(Method.MULTI_DIFF, 1024, 1024,
+                                tile_h=96, tile_w=96, overlap=8, tile_bs=8)
+    assert plan.num_batches == -(-len(plan.bboxes) // 8)
+    assert (plan.weights > 0).all()
+    assert len(plan.bboxes) == 144        # 12x12 grid at stride 88
+
+
+def test_8k_vae_plan_geometry():
+    from mdu_tpu.tiling import plan_vae_tiles
+
+    plan = plan_vae_tiles(1024, 1024, 96, 11)     # 8K latent decode
+    cover = np.zeros((1024, 1024), np.int32)
+    for (y0, y1, x0, x1) in plan.owned:
+        cover[y0:y1, x0:x1] += 1
+    assert (cover == 1).all()
+    assert plan.in_h <= 96 + 22 and plan.in_w <= 96 + 22
+
+    plan_enc = plan_vae_tiles(8192, 8192, 1536, 32)   # 8K pixel encode
+    cover = np.zeros((8192, 8192), np.int8)
+    for (y0, y1, x0, x1) in plan_enc.owned:
+        cover[y0:y1, x0:x1] += 1
+    assert (cover == 1).all()
+    # origins aligned for 3 stride-2 mask subsamplings
+    for (oy, ox) in plan_enc.in_origins:
+        assert oy % 8 == 0 and ox % 8 == 0
