@@ -140,6 +140,14 @@ class DiffusionPipeline:
     # --------------------------------------------------- denoiser assembly
 
     @staticmethod
+    def _resolve_sampler(sp: Optional[SamplerConfig]) -> SamplerConfig:
+        sp = sp or SamplerConfig()
+        # A1111 '<name> Karras' naming implies the Karras sigma schedule
+        if sp.name.endswith(" Karras") and sp.schedule == "automatic":
+            sp = dataclasses.replace(sp, schedule="karras")
+        return sp
+
+    @staticmethod
     def _as_cond_fn(c):
         """Conds may be plain pytrees, scheduled banks
         ({'__bank__': tree [S,...], '__index__': [steps]}), or legacy
@@ -303,7 +311,7 @@ class DiffusionPipeline:
         decode: bool = True,
         step_callback=None,
     ) -> GenerationResult:
-        sp = sampler or SamplerConfig()
+        sp = self._resolve_sampler(sampler)
         h, w = height // 8, width // 8
         plan = self._plan(tiled_diffusion, h, w)
 
@@ -372,7 +380,7 @@ class DiffusionPipeline:
         decode: bool = True,
         step_callback=None,
     ) -> GenerationResult:
-        sp = sampler or SamplerConfig()
+        sp = self._resolve_sampler(sampler)
         td = tiled_diffusion
 
         x_img = image_to_tensor(image) if isinstance(image, np.ndarray) else image

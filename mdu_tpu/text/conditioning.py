@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.clip import CLIPTextModel
-from .prompt import parse_prompt_attention, parse_prompt_schedule, split_composable
+from .prompt import (extract_networks, parse_prompt_attention,
+                     parse_prompt_schedule, split_composable)
 from .tokenizer import CLIPTokenizer, HashTokenizer
 
 Cond = Dict[str, Any]
@@ -104,6 +105,8 @@ class TextConditioner:
         a composable dict when it has AND branches (weights applied in the
         guided denoiser as composable diffusion)."""
         extra = extra or {}
+        prompt, networks = extract_networks(prompt)
+        self.last_networks = networks      # (kind, name, weight) for the caller
         parts = split_composable(prompt)
         if len(parts) > 1:
             # AND branches are encoded unscheduled (scheduling inside an AND

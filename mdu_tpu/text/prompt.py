@@ -144,6 +144,28 @@ class ComposablePrompt:
     weight: float = 1.0
 
 
+_NETWORK_RE = re.compile(r"<(\w+):([^:>]+)(?::([^>]*))?>")
+
+
+def extract_networks(text: str):
+    """Strip `<lora:name:weight>`-style extra-network tags (A1111 syntax;
+    the reference consumes them via extra_networks.parse_prompts, ref
+    tile_utils/utils.py:123-131).  -> (clean_text, [(kind, name, weight)])."""
+    found = []
+
+    def repl(m: re.Match) -> str:
+        kind, name, w = m.group(1), m.group(2), m.group(3)
+        try:
+            weight = float(w) if w not in (None, "") else 1.0
+        except ValueError:
+            weight = 1.0
+        found.append((kind, name, weight))
+        return ""
+
+    clean = _NETWORK_RE.sub(repl, text)
+    return re.sub(r"\s{2,}", " ", clean).strip(), found
+
+
 _AND_RE = re.compile(r"\bAND\b")
 _AND_W_RE = re.compile(r"^(.*?)(?::\s*([+-]?[\d.]+)\s*)?$", re.S)
 

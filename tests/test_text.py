@@ -170,3 +170,13 @@ def test_and_composable_cond_through_pipeline():
     res2 = pipe.txt2img(tc.cond("a cat"), uncond, 128, 128, SamplerConfig(steps=2),
                         seed=1, tiled_diffusion=td, decode=False)
     assert np.abs(np.asarray(res.latents) - np.asarray(res2.latents)).max() > 1e-5
+
+
+def test_extract_networks():
+    from mdu_tpu.text.prompt import extract_networks
+
+    clean, nets = extract_networks("a cat <lora:catstyle:0.8> in a hat <hypernet:h1>")
+    assert clean == "a cat in a hat"
+    assert nets == [("lora", "catstyle", 0.8), ("hypernet", "h1", 1.0)]
+    clean2, nets2 = extract_networks("no tags here")
+    assert clean2 == "no tags here" and nets2 == []
