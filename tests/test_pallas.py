@@ -41,3 +41,34 @@ def test_flash_bf16(rng):
     want = np.asarray(sdpa(q, k, v)).astype(np.float32)
     got = np.asarray(flash_attention(q, k, v, interpret=True)).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_fused_tile_blend_matches_xla(rng):
+    """Gather-formulated fused blend == scatter-add + divide reference."""
+    from mdu_tpu.ops.fusion import scatter_add_tiles, weighted_average
+    from mdu_tpu.ops.pallas import fused_tile_blend
+    from mdu_tpu.utils import paint_count, split_grid
+
+    h, w, tw = 64, 96, 32
+    bboxes = tuple(split_grid(w, h, tw, tw, 16))
+    T = len(bboxes)
+    tiles = jnp.asarray(rng.normal(size=(T, 4, tw, tw)).astype(np.float32))
+    weights = jnp.asarray(paint_count(w, h, bboxes)[0, 0])
+
+    # XLA reference path
+    canvas = scatter_add_tiles(jnp.zeros((1, 4, h, w)), tiles[:, None], bboxes)
+    want = np.asarray(weighted_average(canvas, weights[None, None]))[0]
+
+    got = np.asarray(fused_tile_blend(tiles, weights, h, w, bboxes,
+                                      interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_contributor_table():
+    from mdu_tpu.ops.pallas import build_contributor_table
+    from mdu_tpu.utils import split_grid
+
+    bboxes = split_grid(96, 64, 32, 32, 16)
+    idx, offs, k = build_contributor_table(64, 96, bboxes, 32, 32)
+    assert idx.shape[0] == 2 * 3                   # 64/32 x 96/32 blocks
+    assert (idx >= -1).all() and k >= 1
