@@ -163,6 +163,18 @@ def cmd_demofusion(args):
     pipe, conditioner = _load(args)
     _, tv, sp, _ = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
+    init_latent = None
+    if args.init:
+        import jax
+        from PIL import Image
+
+        from .models.vae import sample_from_moments
+        from .utils.image import image_to_tensor
+
+        x = image_to_tensor(np.asarray(Image.open(args.init).convert("RGB")))
+        moments = pipe._encode(x, tv)
+        init_latent = sample_from_moments(moments, jax.random.PRNGKey(_seed(args)))
+        init_latent = init_latent * pipe.vae.cfg.scaling_factor
     cfg = DemoFusionConfig(
         window_size=args.window_size, overlap=args.overlap,
         scale_factor=args.scale, cosine_scale_1=args.cosine_scale_1,
@@ -172,7 +184,7 @@ def cmd_demofusion(args):
     seed = _seed(args)
     with perfcount("DemoFusion"):
         res = pipe.demofusion(cond, uncond, args.width, args.height, cfg, sp,
-                              seed, tiled_vae=tv)
+                              seed, init_latent=init_latent, tiled_vae=tv)
     for i, imgs in enumerate(res.images):
         _save(imgs, args.out.replace(".png", f"_scale{i+1}.png"), res.info)
 
@@ -235,6 +247,7 @@ def main(argv: Optional[List[str]] = None):
     d.add_argument("--no-jitter", action="store_true")
     d.add_argument("--mixture", action="store_true")
     d.add_argument("--denoise-strengths", type=float, nargs="+", default=[0.45])
+    d.add_argument("--init", help="optional init image (img2img DemoFusion)")
     d.set_defaults(fn=cmd_demofusion)
 
     v = sub.add_parser("vae-roundtrip", help="tiled VAE encode+decode check")

@@ -209,27 +209,119 @@ def convert_params(
     return {"params": traverse_util.unflatten_dict(out, sep="/")}
 
 
+def _read_json(path: str) -> Optional[dict]:
+    import json
+
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+    return None
+
+
+def _unet_config_from_json(d: Optional[dict]):
+    """diffusers unet/config.json -> UNetConfig (SD1.5 defaults if absent)."""
+    import dataclasses
+
+    from .unet import sd15_unet_config
+
+    cfg = sd15_unet_config()
+    if not d:
+        return cfg
+    bc = tuple(d.get("block_out_channels", cfg.block_out_channels))
+    down = d.get("down_block_types", ["CrossAttnDownBlock2D"] * (len(bc) - 1) + ["DownBlock2D"])
+    tl = d.get("transformer_layers_per_block", 1)
+    if isinstance(tl, int):
+        tl = [tl] * len(bc)
+    layers = tuple(t if "CrossAttn" in b else 0 for t, b in zip(tl, down))
+    head_dim = d.get("attention_head_dim", 8)
+    if isinstance(head_dim, (list, tuple)):
+        head_dim = head_dim[0]
+    # diffusers pre-SD2 used attention_head_dim to mean NUM HEADS (8)
+    num_heads, hd = (head_dim, None) if head_dim <= 16 else (None, head_dim)
+    return dataclasses.replace(
+        cfg,
+        in_channels=d.get("in_channels", 4),
+        out_channels=d.get("out_channels", 4),
+        block_out_channels=bc,
+        layers_per_block=d.get("layers_per_block", 2),
+        cross_attention_dim=d.get("cross_attention_dim", 768),
+        num_heads=num_heads, head_dim=hd,
+        transformer_layers=layers,
+        use_linear_projection=d.get("use_linear_projection", False),
+        addition_embed_type=d.get("addition_embed_type"),
+        norm_num_groups=d.get("norm_num_groups", 32),
+    )
+
+
+def _vae_config_from_json(d: Optional[dict]):
+    import dataclasses
+
+    from .vae import VAEConfig
+
+    cfg = VAEConfig()
+    if not d:
+        return cfg
+    return dataclasses.replace(
+        cfg,
+        block_out_channels=tuple(d.get("block_out_channels", cfg.block_out_channels)),
+        latent_channels=d.get("latent_channels", 4),
+        layers_per_block=d.get("layers_per_block", 2),
+        norm_num_groups=d.get("norm_num_groups", 32),
+        scaling_factor=d.get("scaling_factor", 0.18215),
+    )
+
+
+def _clip_config_from_json(d: Optional[dict]):
+    import dataclasses
+
+    from .clip import clip_l_config
+
+    cfg = clip_l_config()
+    if not d:
+        return cfg
+    return dataclasses.replace(
+        cfg,
+        vocab_size=d.get("vocab_size", cfg.vocab_size),
+        hidden_size=d.get("hidden_size", cfg.hidden_size),
+        num_layers=d.get("num_hidden_layers", cfg.num_layers),
+        num_heads=d.get("num_attention_heads", cfg.num_heads),
+        max_length=d.get("max_position_embeddings", cfg.max_length),
+        hidden_act=d.get("hidden_act", cfg.hidden_act),
+    )
+
+
 def load_pipeline(model_dir: str, dtype=jnp.float32, schedule=None):
-    """Build a DiffusionPipeline + TextConditioner from a diffusers folder."""
+    """Build a DiffusionPipeline + TextConditioner from a diffusers folder.
+
+    Each component's config.json is honored (block channels, attention
+    sizes, norm groups, ...); missing configs fall back to SD-1.5 defaults.
+    """
     import jax
 
     from ..pipeline import DiffusionPipeline
     from ..text import CLIPTokenizer, TextConditioner
-    from .clip import CLIPTextModel, clip_l_config
-    from .unet import UNet2DCondition, sd15_unet_config
-    from .vae import AutoencoderKL, VAEConfig
+    from .clip import CLIPTextModel
+    from .unet import UNet2DCondition
+    from .vae import AutoencoderKL
 
-    unet = UNet2DCondition(sd15_unet_config(), dtype=dtype)
-    vae = AutoencoderKL(VAEConfig(), dtype=dtype)
-    clip = CLIPTextModel(clip_l_config(), dtype=dtype)
+    ucfg = _unet_config_from_json(_read_json(os.path.join(model_dir, "unet", "config.json")))
+    vcfg = _vae_config_from_json(_read_json(os.path.join(model_dir, "vae", "config.json")))
+    ccfg = _clip_config_from_json(_read_json(os.path.join(model_dir, "text_encoder", "config.json")))
+    unet = UNet2DCondition(ucfg, dtype=dtype)
+    vae = AutoencoderKL(vcfg, dtype=dtype)
+    clip = CLIPTextModel(ccfg, dtype=dtype)
 
     def shapes(module, *args):
         return jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args))
 
     u_state = load_safetensors(
         os.path.join(model_dir, "unet", "diffusion_pytorch_model.safetensors"))
-    u_shapes = shapes(unet, jnp.zeros((1, 4, 8, 8)), jnp.zeros((1,)),
-                      jnp.zeros((1, 77, 768)))
+    added = None
+    if ucfg.addition_embed_type == "text_time":
+        added = {"text_embeds": jnp.zeros((1, ucfg.addition_pooled_dim)),
+                 "time_ids": jnp.ones((1, ucfg.num_time_ids))}
+    u_shapes = shapes(unet, jnp.zeros((1, ucfg.in_channels, 8, 8)), jnp.zeros((1,)),
+                      jnp.zeros((1, 77, ucfg.cross_attention_dim)), added)
     unet_params = convert_params(u_shapes, u_state, translate_unet_name)
 
     v_state = load_safetensors(
@@ -239,12 +331,24 @@ def load_pipeline(model_dir: str, dtype=jnp.float32, schedule=None):
 
     c_state = load_safetensors(
         os.path.join(model_dir, "text_encoder", "model.safetensors"))
-    c_shapes = shapes(clip, jnp.zeros((1, 77), jnp.int32))
+    c_shapes = shapes(clip, jnp.zeros((1, ccfg.max_length), jnp.int32))
     clip_params = convert_params(c_shapes, c_state, translate_clip_name)
 
     tok = CLIPTokenizer.from_files(
         os.path.join(model_dir, "tokenizer", "vocab.json"),
         os.path.join(model_dir, "tokenizer", "merges.txt"))
+
+    if schedule is None:
+        sd = _read_json(os.path.join(model_dir, "scheduler", "scheduler_config.json"))
+        if sd:
+            from ..samplers.schedule import NoiseSchedule
+
+            schedule = NoiseSchedule(
+                num_train_timesteps=sd.get("num_train_timesteps", 1000),
+                beta_start=sd.get("beta_start", 0.00085),
+                beta_end=sd.get("beta_end", 0.012),
+                beta_schedule=sd.get("beta_schedule", "scaled_linear"),
+                prediction_type=sd.get("prediction_type", "epsilon"))
 
     pipe = DiffusionPipeline(unet, unet_params, vae, vae_params, schedule)
     conditioner = TextConditioner(clip, clip_params, tok)
