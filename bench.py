@@ -26,6 +26,28 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _watchdog(seconds=None):
+    """Exit(1) if the device never comes up (dead tunnel) — a clear failure
+    beats an infinite hang for the round driver."""
+    import os
+    import threading
+
+    if seconds is None:
+        seconds = int(os.environ.get("BENCH_WATCHDOG_SECS", "1200"))
+    state = {"alive": False}
+
+    def probe():
+        jnp.ones((8, 8)).block_until_ready()
+        state["alive"] = True
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(seconds)
+    if not state["alive"]:
+        log(f"bench watchdog: device unreachable after {seconds}s — aborting")
+        os._exit(1)
+
+
 def main():
     from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
     from mdu_tpu.models import (
@@ -33,6 +55,7 @@ def main():
     )
     from mdu_tpu.pipeline import DiffusionPipeline
 
+    _watchdog()
     dev = jax.devices()[0]
     log(f"bench device: {dev}")
     dtype = jnp.bfloat16

@@ -189,6 +189,19 @@ def cmd_demofusion(args):
         _save(imgs, args.out.replace(".png", f"_scale{i+1}.png"), res.info)
 
 
+def cmd_info(args):
+    """Read back generation metadata from a PNG (ref seed recovery,
+    javascript/bboxHint.js:171-221)."""
+    from PIL import Image
+
+    img = Image.open(args.image)
+    params = img.text.get("parameters") if hasattr(img, "text") else None
+    if not params:
+        print("no generation metadata found", file=sys.stderr)
+        sys.exit(1)
+    print(json.dumps(json.loads(params), indent=2))
+
+
 def cmd_vae_roundtrip(args):
     from PIL import Image
 
@@ -249,6 +262,10 @@ def main(argv: Optional[List[str]] = None):
     d.add_argument("--denoise-strengths", type=float, nargs="+", default=[0.45])
     d.add_argument("--init", help="optional init image (img2img DemoFusion)")
     d.set_defaults(fn=cmd_demofusion)
+
+    n = sub.add_parser("info", help="print generation metadata from a PNG")
+    n.add_argument("image")
+    n.set_defaults(fn=cmd_info)
 
     v = sub.add_parser("vae-roundtrip", help="tiled VAE encode+decode check")
     _add_common(v)

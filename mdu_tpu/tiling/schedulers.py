@@ -100,6 +100,13 @@ def plan_tiled_diffusion(
 
     region_bboxes = tuple(
         r.to_bbox(latent_w, latent_h) for r in regions if r.validate())
+    for i, r in enumerate(region_bboxes):
+        if r.w * r.h > 0.25 * latent_w * latent_h:
+            import sys
+            print(f"[Tiled Diffusion] warning: region {i + 1} covers "
+                  f"{100 * r.w * r.h / (latent_w * latent_h):.0f}% of the canvas"
+                  " — expect high HBM use (ref bboxHint.js VRAM warning)",
+                  file=sys.stderr)
     if not region_bboxes:
         draw_background = True  # nothing else to paint
 
