@@ -46,22 +46,35 @@ def make_sharded_tile_denoiser(
     denoiser (cond handling baked in by the caller; all tiles share cond).
     Supports grid tiles (regions run better unsharded — they are few).
     """
+    from ..config import Method
+    from ..utils.weights import gaussian_weights
+
     n_dev = mesh.shape["tiles"]
     T = len(plan.bboxes)
     T_pad = -(-T // n_dev) * n_dev
+    is_mod = plan.method == Method.MIX_DIFF
 
     offsets = np.array([[b.y, b.x] for b in plan.bboxes], np.int32)
     offsets = np.concatenate(
         [offsets, np.repeat(offsets[-1:], T_pad - T, axis=0)], axis=0)
-    # padded duplicate tiles must not contribute to the fused canvas
-    contrib = np.concatenate(
-        [np.ones(T, np.float32), np.zeros(T_pad - T, np.float32)])
-
-    weights = jnp.asarray(plan.weights)
     th, tw = plan.tile_h, plan.tile_w
 
-    def shard_body(tiles, offs, cmask, sigma, step):
-        # tiles [T_local, B, C, th, tw]; offs [T_local, 2]; cmask [T_local]
+    # per-tile scatter weight maps: MD = 1/0 contribution masks; MoD =
+    # gaussian * global rescale sliced per tile (mixtureofdiffusers.py:125-126)
+    if is_mod:
+        rescale = 1.0 / np.maximum(plan.weights, 1e-12)
+        gw = plan.tile_weights
+        wmaps = np.stack([
+            gw * rescale[0, 0, b.y:b.y + b.h, b.x:b.x + b.w] for b in plan.bboxes])
+    else:
+        wmaps = np.ones((T, th, tw), np.float32)
+    wmaps = np.concatenate(
+        [wmaps, np.zeros((T_pad - T, th, tw), np.float32)], axis=0).astype(np.float32)
+
+    weights = jnp.asarray(plan.weights)
+
+    def shard_body(tiles, offs, wmap, sigma, step):
+        # tiles [T_local, B, C, th, tw]; offs [T_local, 2]; wmap [T_local, th, tw]
         out = tile_denoise_flat(tiles, sigma)
         B, C = out.shape[1], out.shape[2]
         H, W = plan.h, plan.w
@@ -73,7 +86,7 @@ def make_sharded_tile_denoiser(
             y, x = offs[i, 0], offs[i, 1]
             cur = jax.lax.dynamic_slice(canvas, (0, 0, y, x), (B, C, th, tw))
             return jax.lax.dynamic_update_slice(
-                canvas, cur + out[i] * cmask[i], (0, 0, y, x))
+                canvas, cur + out[i] * wmap[i][None, None], (0, 0, y, x))
 
         canvas = jax.lax.fori_loop(0, out.shape[0], add_tile, canvas)
         return jax.lax.psum(canvas, "tiles")
@@ -90,7 +103,9 @@ def make_sharded_tile_denoiser(
             jax.lax.slice(x, (0, 0, b.y, b.x), (B, C, b.y + th, b.x + tw))
             for b in plan.bboxes])
         tiles, = _pad_tiles_to(T_pad, [tiles])
-        buf = sharded(tiles, jnp.asarray(offsets), jnp.asarray(contrib), sigma, step)
+        buf = sharded(tiles, jnp.asarray(offsets), jnp.asarray(wmaps), sigma, step)
+        if is_mod:
+            return buf                       # weights pre-normalized into wmaps
         return jnp.where(weights > 1, buf / weights, buf)
 
     return denoised_fn

@@ -126,3 +126,18 @@ def test_sharded_tiled_vae_decode_matches_single(rng):
                                                          tile_size=24))(z)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_mod_denoiser_matches_single_device(rng):
+    plan = plan_tiled_diffusion(Method.MIX_DIFF, 64, 96, tile_h=32, tile_w=32,
+                                overlap=16, tile_bs=2)
+    x = jnp.asarray(rng.normal(size=(1, 4, 64, 96)).astype(np.float32))
+
+    mesh = make_tile_mesh(8)
+    sharded = make_sharded_tile_denoiser(mesh, plan, lambda t, s: 2.0 * t + s)
+    single = make_tiled_denoiser(plan, lambda f, s, i, bb, bi: 2.0 * f + s)
+    s = jnp.asarray(0.5)
+    out_sharded = jax.jit(sharded)(x, s, jnp.asarray(0))
+    out_single = jax.jit(single)(x, s, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_single),
+                               rtol=1e-5, atol=1e-5)
