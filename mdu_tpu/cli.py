@@ -15,8 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

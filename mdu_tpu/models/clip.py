@@ -18,7 +18,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import sdpa
 from .layers import LayerNorm, Linear
 
 

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Conv2D, GroupNorm, Linear, silu, timestep_embedding
+from .layers import Conv2D, Linear, silu, timestep_embedding
 from .unet import (
     Downsample2D,
     ResBlock,

@@ -11,13 +11,13 @@ to the tiled denoiser (pipeline ``region_unet_params``).
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 from flax import traverse_util
 
-from .loader import translate_clip_name, translate_unet_name
+from .loader import translate_unet_name
 
 
 def _norm(name: str) -> str:

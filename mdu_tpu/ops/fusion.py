@@ -12,7 +12,7 @@ sees one compiled shape regardless of grid size.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ steps (the canonical TPU flash-attention accumulation pattern).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

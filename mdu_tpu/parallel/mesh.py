@@ -7,7 +7,7 @@ batches shard over a `jax.sharding.Mesh` axis ('tiles') and training uses a
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -13,7 +13,7 @@ handled by `TileContext(axis_name='tiles')` (ops/tile_context.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..tiling.schedulers import DiffusionTilePlan
-from ..utils.bbox import BBox
 
 
 def _pad_tiles_to(n: int, arrs):
@@ -47,7 +46,6 @@ def make_sharded_tile_denoiser(
     Supports grid tiles (regions run better unsharded — they are few).
     """
     from ..config import Method
-    from ..utils.weights import gaussian_weights
 
     n_dev = mesh.shape["tiles"]
     T = len(plan.bboxes)

@@ -12,8 +12,7 @@ Loss: standard DDPM epsilon-MSE on the UNet.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

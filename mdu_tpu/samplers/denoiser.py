@@ -17,7 +17,7 @@ below-CFG (MoD) and above-CFG (MultiDiffusion) hook depths (SURVEY.md §7).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax.numpy as jnp
 

@@ -9,7 +9,7 @@ DDPM schedule so that samplers and the noise-inversion math
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 from typing import Tuple
 

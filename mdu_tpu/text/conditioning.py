@@ -9,7 +9,6 @@ ref Prompt.append_prompt utils.py:112-114).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax

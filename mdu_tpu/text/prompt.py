@@ -12,10 +12,9 @@ The reference leans on A1111's prompt_parser for all of this
 """
 from __future__ import annotations
 
-import math
 import re
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 _ATTN_RE = re.compile(r"""
 \\\(|\\\)|\\\[|\\\]|\\\\|\\:|

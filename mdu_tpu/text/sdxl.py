@@ -10,7 +10,7 @@ full construction is owned:
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 

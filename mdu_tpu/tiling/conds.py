@@ -20,7 +20,7 @@ Rules per leaf when building a tile batch of K tiles (tile-major):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

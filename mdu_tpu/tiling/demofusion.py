@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -200,6 +200,11 @@ def demofusion_generate(
     from ..pipeline import GenerationResult   # cycle-free at call time
 
     sp = sampler or SamplerConfig()
+    for c in (cond, uncond):
+        if isinstance(c, dict) and ("__bank__" in c or "__and__" in c):
+            raise ValueError(
+                "DemoFusion currently supports plain cond pytrees "
+                "(no prompt scheduling / AND composition)")
     h0, w0 = height // 8, width // 8
     key = jax.random.PRNGKey(seed)
 

@@ -8,7 +8,7 @@ both.  torch.manual_seed becomes a jax PRNG key per region.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

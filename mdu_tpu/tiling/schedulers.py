@@ -26,7 +26,7 @@ UNet call compiles once per tile-batch shape.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp

@@ -38,7 +38,6 @@ import numpy as np
 from ..models.vae import AutoencoderKL
 from ..ops.resize import resize_nchw
 from ..ops.tile_context import TileContext
-from ..utils.bbox import BBox
 
 ENCODER_PAD = 32   # pixel-space halo (ref tilevae.py:373)
 DECODER_PAD = 11   # latent-space halo
