@@ -112,3 +112,26 @@ def test_v_prediction_scalings():
     sigma = jnp.asarray(2.0)
     den = den_fn(x, sigma, None)
     np.testing.assert_allclose(np.asarray(den), 1.0 / 5.0, rtol=1e-5)
+
+
+@pytest.mark.parametrize("sampler", [
+    sample_euler, sample_ddim, sample_dpmpp_2m, sample_heun,
+])
+def test_linear_denoiser_converges_to_analytic(sampler):
+    """For den = a*x the probability-flow ODE has the closed form
+    x(sigma) = x(sigma0) * (sigma/sigma0)^(1-a); samplers must converge to it
+    as steps grow (integrated over [sigma_max, sigma_min], dropping the 0
+    endpoint where the analytic solution is only an asymptotic limit)."""
+    a = 0.3
+    sch = NoiseSchedule()
+
+    def err(steps):
+        sig = np.asarray(sch.sampling_sigmas(steps))[:-1]
+        out = sampler(lambda x, s, i: a * x, jnp.full((1, 2, 2, 2), 5.0),
+                      jnp.asarray(sig))
+        analytic = 5.0 * (sig[-1] / sig[0]) ** (1 - a)
+        return abs(float(np.asarray(out).reshape(-1)[0]) - analytic) / analytic
+
+    e100, e400 = err(100), err(400)
+    assert e400 < e100, f"no convergence: {e100} -> {e400}"
+    assert e400 < 0.08, f"error too large at 400 steps: {e400}"
