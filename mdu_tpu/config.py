@@ -70,6 +70,9 @@ class TiledVAEConfig:
     color_fix: bool = False
     # how many tiles run through the lockstep-batched queue at once
     tile_batch: int = 4
+    # fixed-HBM exact mode: tiles stay host-resident, segments stream through
+    # the chip (the 8K path; see tiling/streaming_vae.py)
+    streaming: bool = False
 
 
 @dataclass

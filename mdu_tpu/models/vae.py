@@ -6,6 +6,11 @@ one, its statistics pool across lockstep-batched tiles — this is the whole
 "Tiled VAE" mechanism (ref scripts/tilevae.py:107-195 task queue) expressed
 as a single forward pass.
 
+Submodules are declared in ``setup`` (not ``nn.compact``) so the streaming
+executor (tiling/streaming_vae.py) can address every op individually for the
+fixed-HBM 8K path, while ``__call__`` remains the single jitted program for
+the lockstep path.  Parameter names are identical either way.
+
 The mid-block attention runs per-tile over the halo-padded tile, like the
 reference (tilevae.py:107-112 + tile_utils/attn.py), using the chunked SDPA
 so the score matrix stays bounded.
@@ -13,7 +18,7 @@ so the score matrix stays bounded.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -47,60 +52,85 @@ def tiny_vae_config() -> VAEConfig:
 
 class ResnetBlock(nn.Module):
     cfg: VAEConfig
+    in_channels: int
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, ctx: Optional[TileContext] = None):
+    def setup(self):
         g = self.cfg.norm_num_groups
-        h = GroupNorm(g, dtype=self.dtype, name="norm1")(x, ctx)
-        h = Conv2D(self.out_channels, dtype=self.dtype, name="conv1")(silu(h))
-        h = GroupNorm(g, dtype=self.dtype, name="norm2")(h, ctx)
-        h = Conv2D(self.out_channels, dtype=self.dtype, name="conv2")(silu(h))
-        if x.shape[1] != self.out_channels:
-            x = Conv2D(self.out_channels, kernel_size=(1, 1), padding=0,
-                       dtype=self.dtype, name="conv_shortcut")(x)
-        return x + h
+        self.norm1 = GroupNorm(g, dtype=self.dtype)
+        self.conv1 = Conv2D(self.out_channels, dtype=self.dtype)
+        self.norm2 = GroupNorm(g, dtype=self.dtype)
+        self.conv2 = Conv2D(self.out_channels, dtype=self.dtype)
+        if self.in_channels != self.out_channels:
+            self.conv_shortcut = Conv2D(self.out_channels, kernel_size=(1, 1),
+                                        padding=0, dtype=self.dtype)
+
+    def shortcut(self, x):
+        if self.in_channels != self.out_channels:
+            return self.conv_shortcut(x)
+        return x
+
+    def __call__(self, x, ctx: Optional[TileContext] = None):
+        h = self.norm1(x, ctx)
+        h = self.conv1(silu(h))
+        h = self.norm2(h, ctx)
+        h = self.conv2(silu(h))
+        return self.shortcut(x) + h
 
 
 class AttnBlock(nn.Module):
     """Single-head self-attention over spatial tokens (VAE mid block)."""
 
     cfg: VAEConfig
+    channels: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, ctx: Optional[TileContext] = None):
-        B, C, H, W = x.shape
-        h = GroupNorm(self.cfg.norm_num_groups, dtype=self.dtype, name="group_norm")(x, ctx)
+    def setup(self):
+        self.group_norm = GroupNorm(self.cfg.norm_num_groups, dtype=self.dtype)
+        self.to_q = Linear(self.channels, dtype=self.dtype)
+        self.to_k = Linear(self.channels, dtype=self.dtype)
+        self.to_v = Linear(self.channels, dtype=self.dtype)
+        self.to_out = Linear(self.channels, dtype=self.dtype)
+
+    def attend(self, h):
+        """Attention over an already-normalized input (no residual)."""
+        B, C, H, W = h.shape
         tokens = h.reshape(B, C, H * W).transpose(0, 2, 1)
-        q = Linear(C, dtype=self.dtype, name="to_q")(tokens)
-        k = Linear(C, dtype=self.dtype, name="to_k")(tokens)
-        v = Linear(C, dtype=self.dtype, name="to_v")(tokens)
-        out = multi_head_attention(q, k, v, num_heads=1, q_chunk=self.cfg.attn_q_chunk)
-        out = Linear(C, dtype=self.dtype, name="to_out")(out)
-        return x + out.transpose(0, 2, 1).reshape(B, C, H, W)
+        q = self.to_q(tokens)
+        k = self.to_k(tokens)
+        v = self.to_v(tokens)
+        out = multi_head_attention(q, k, v, num_heads=1,
+                                   q_chunk=self.cfg.attn_q_chunk)
+        out = self.to_out(out)
+        return out.transpose(0, 2, 1).reshape(B, C, H, W)
+
+    def __call__(self, x, ctx: Optional[TileContext] = None):
+        return x + self.attend(self.group_norm(x, ctx))
 
 
 class Downsample(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         # asymmetric (0,1)x(0,1) pad + stride-2 conv, CompVis/diffusers VAE style
-        return Conv2D(self.channels, strides=(2, 2), padding=((0, 1), (0, 1)),
-                      dtype=self.dtype, name="conv")(x)
+        self.conv = Conv2D(self.channels, strides=(2, 2), padding=((0, 1), (0, 1)),
+                           dtype=self.dtype)
+
+    def __call__(self, x):
+        return self.conv(x)
 
 
 class Upsample(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.conv = Conv2D(self.channels, dtype=self.dtype)
+
     def __call__(self, x):
-        x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)  # nearest 2x
-        return Conv2D(self.channels, dtype=self.dtype, name="conv")(x)
+        return self.conv(jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3))
 
 
 class MidBlock(nn.Module):
@@ -108,11 +138,15 @@ class MidBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.block_1 = ResnetBlock(self.cfg, self.channels, self.channels, dtype=self.dtype)
+        self.attn_1 = AttnBlock(self.cfg, self.channels, dtype=self.dtype)
+        self.block_2 = ResnetBlock(self.cfg, self.channels, self.channels, dtype=self.dtype)
+
     def __call__(self, x, ctx=None):
-        x = ResnetBlock(self.cfg, self.channels, self.dtype, name="block_1")(x, ctx)
-        x = AttnBlock(self.cfg, self.dtype, name="attn_1")(x, ctx)
-        x = ResnetBlock(self.cfg, self.channels, self.dtype, name="block_2")(x, ctx)
+        x = self.block_1(x, ctx)
+        x = self.attn_1(x, ctx)
+        x = self.block_2(x, ctx)
         return x
 
 
@@ -120,18 +154,35 @@ class Encoder(nn.Module):
     cfg: VAEConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, ctx: Optional[TileContext] = None):
+    def setup(self):
         cfg = self.cfg
-        h = Conv2D(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(x)
+        self.conv_in = Conv2D(cfg.block_out_channels[0], dtype=self.dtype)
+        blocks = {}
+        in_ch = cfg.block_out_channels[0]
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock(cfg, ch, self.dtype, name=f"down_{i}_block_{j}")(h, ctx)
+                blocks[f"down_{i}_block_{j}"] = ResnetBlock(
+                    cfg, in_ch, ch, dtype=self.dtype, name=f"down_{i}_block_{j}")
+                in_ch = ch
             if i != len(cfg.block_out_channels) - 1:
-                h = Downsample(ch, self.dtype, name=f"down_{i}_downsample")(h)
-        h = MidBlock(cfg, cfg.block_out_channels[-1], self.dtype, name="mid")(h, ctx)
-        h = GroupNorm(cfg.norm_num_groups, dtype=self.dtype, name="norm_out")(h, ctx)
-        h = Conv2D(2 * cfg.latent_channels, dtype=self.dtype, name="conv_out")(silu(h))
+                blocks[f"down_{i}_downsample"] = Downsample(
+                    ch, dtype=self.dtype, name=f"down_{i}_downsample")
+        self._blocks = blocks
+        self.mid = MidBlock(cfg, cfg.block_out_channels[-1], dtype=self.dtype)
+        self.norm_out = GroupNorm(cfg.norm_num_groups, dtype=self.dtype)
+        self.conv_out = Conv2D(2 * cfg.latent_channels, dtype=self.dtype)
+
+    def __call__(self, x, ctx: Optional[TileContext] = None):
+        cfg = self.cfg
+        h = self.conv_in(x)
+        for i, ch in enumerate(cfg.block_out_channels):
+            for j in range(cfg.layers_per_block):
+                h = self._blocks[f"down_{i}_block_{j}"](h, ctx)
+            if i != len(cfg.block_out_channels) - 1:
+                h = self._blocks[f"down_{i}_downsample"](h)
+        h = self.mid(h, ctx)
+        h = self.norm_out(h, ctx)
+        h = self.conv_out(silu(h))
         return h                                  # moments [B, 2*latent, h, w]
 
 
@@ -139,19 +190,37 @@ class Decoder(nn.Module):
     cfg: VAEConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        chans = list(reversed(cfg.block_out_channels))
+        self.conv_in = Conv2D(chans[0], dtype=self.dtype)
+        self.mid = MidBlock(cfg, chans[0], dtype=self.dtype)
+        blocks = {}
+        in_ch = chans[0]
+        for i, ch in enumerate(chans):
+            for j in range(cfg.layers_per_block + 1):
+                blocks[f"up_{i}_block_{j}"] = ResnetBlock(
+                    cfg, in_ch, ch, dtype=self.dtype, name=f"up_{i}_block_{j}")
+                in_ch = ch
+            if i != len(chans) - 1:
+                blocks[f"up_{i}_upsample"] = Upsample(
+                    ch, dtype=self.dtype, name=f"up_{i}_upsample")
+        self._blocks = blocks
+        self.norm_out = GroupNorm(cfg.norm_num_groups, dtype=self.dtype)
+        self.conv_out = Conv2D(cfg.out_channels, dtype=self.dtype)
+
     def __call__(self, z, ctx: Optional[TileContext] = None):
         cfg = self.cfg
         chans = list(reversed(cfg.block_out_channels))
-        h = Conv2D(chans[0], dtype=self.dtype, name="conv_in")(z)
-        h = MidBlock(cfg, chans[0], self.dtype, name="mid")(h, ctx)
+        h = self.conv_in(z)
+        h = self.mid(h, ctx)
         for i, ch in enumerate(chans):
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock(cfg, ch, self.dtype, name=f"up_{i}_block_{j}")(h, ctx)
+                h = self._blocks[f"up_{i}_block_{j}"](h, ctx)
             if i != len(chans) - 1:
-                h = Upsample(ch, self.dtype, name=f"up_{i}_upsample")(h)
-        h = GroupNorm(cfg.norm_num_groups, dtype=self.dtype, name="norm_out")(h, ctx)
-        h = Conv2D(cfg.out_channels, dtype=self.dtype, name="conv_out")(silu(h))
+                h = self._blocks[f"up_{i}_upsample"](h)
+        h = self.norm_out(h, ctx)
+        h = self.conv_out(silu(h))
         return h
 
 

@@ -586,6 +586,16 @@ class DiffusionPipeline:
     # ------------------------------------------------------------------- VAE
 
     def _decode(self, latents: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> np.ndarray:
+        if tv is not None and tv.enabled and tv.streaming:
+            from .tiling.streaming_vae import streaming_tiled_vae
+
+            out = streaming_tiled_vae(self.vae, self.vae_params,
+                                      latents / self.vae.cfg.scaling_factor,
+                                      "decoder", tv.decoder_tile_size,
+                                      tv.tile_batch)
+            if out is not None:
+                return tensor_to_image(out)
+
         def builder():
             def run(vp, z):
                 z = z / self.vae.cfg.scaling_factor
@@ -602,6 +612,15 @@ class DiffusionPipeline:
         return tensor_to_image(self._cached_jit(jkey, builder)(self.vae_params, latents))
 
     def _encode(self, x_img: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> jnp.ndarray:
+        if tv is not None and tv.enabled and tv.streaming:
+            from .tiling.streaming_vae import streaming_tiled_vae
+
+            out = streaming_tiled_vae(self.vae, self.vae_params, x_img,
+                                      "encoder", tv.encoder_tile_size,
+                                      tv.tile_batch)
+            if out is not None:
+                return out
+
         def builder():
             def run(vp, x):
                 if tv is not None and tv.enabled:

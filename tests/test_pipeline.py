@@ -171,3 +171,14 @@ def test_txt2img_batch(pipe):
                                np.asarray(single.latents), atol=1e-5)
     # element 1 differs (its own seed)
     assert np.abs(np.asarray(res.latents[1]) - np.asarray(res.latents[0])).max() > 1e-3
+
+
+def test_streaming_vae_through_pipeline(pipe):
+    tv_stream = dataclasses.replace(TV, streaming=True, tile_batch=2)
+    res = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=42,
+                       tiled_diffusion=TD, tiled_vae=tv_stream)
+    ref = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=42,
+                       tiled_diffusion=TD, tiled_vae=TV)
+    assert res.images.shape == ref.images.shape
+    # exact streaming == exact lockstep up to fp noise -> identical uint8 ±1
+    assert np.abs(res.images.astype(int) - ref.images.astype(int)).max() <= 1

@@ -114,3 +114,42 @@ def test_color_fix_encode(vae_and_params):
     assert np.isfinite(np.asarray(out)).all()
     # hybrid mode sits between fast and exact; loose sanity bound
     assert np.abs(np.asarray(out) - np.asarray(exact)).mean() < 0.5
+
+
+def test_streaming_decode_matches_lockstep(vae_and_params):
+    """Fixed-HBM streaming exact mode == lockstep exact mode (same pooled
+    stats math, host-resident tiles)."""
+    from mdu_tpu.tiling.streaming_vae import streaming_tiled_vae
+
+    vae, params = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(11), (1, 4, 48, 48)) * 0.5
+    lockstep = jax.jit(lambda z: tiled_vae_decode(vae, params, z, tile_size=24))(z)
+    streamed = streaming_tiled_vae(vae, params, z, "decoder", tile_size=24,
+                                   group_size=2)
+    assert streamed is not None
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(lockstep),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_streaming_encode_matches_lockstep(vae_and_params):
+    from mdu_tpu.tiling.streaming_vae import streaming_tiled_vae
+
+    vae, params = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(12), (1, 3, 256, 256)) * 0.3
+    lockstep = jax.jit(lambda x: tiled_vae_encode_moments(vae, params, x,
+                                                          tile_size=128))(x)
+    streamed = streaming_tiled_vae(vae, params, x, "encoder", tile_size=128,
+                                   group_size=2)
+    assert streamed is not None
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(lockstep),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_streaming_bypass_small():
+    from mdu_tpu.models import AutoencoderKL, random_params, tiny_vae_config
+    from mdu_tpu.tiling.streaming_vae import streaming_tiled_vae
+
+    vae = AutoencoderKL(tiny_vae_config())
+    params = random_params(vae, 0, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
+    assert streaming_tiled_vae(vae, params, jnp.zeros((1, 4, 16, 16)),
+                               "decoder", tile_size=96) is None
