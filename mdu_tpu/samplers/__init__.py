@@ -15,6 +15,7 @@ from .samplers import (
     sample_euler,
     sample_euler_ancestral,
     sample_heun,
+    sample_lms,
 )
 from .schedule import NoiseSchedule, ddim_timesteps, sigmas_karras
 
@@ -23,5 +24,6 @@ __all__ = [
     "denoised_from_model", "scalings",
     "SAMPLERS", "STOCHASTIC_SAMPLERS", "get_sampler", "sample_ddim",
     "sample_dpmpp_2m", "sample_euler", "sample_euler_ancestral", "sample_heun",
+    "sample_lms",
     "NoiseSchedule", "ddim_timesteps", "sigmas_karras",
 ]

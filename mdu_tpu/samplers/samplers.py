@@ -163,12 +163,62 @@ def sample_ddim(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray
     return x
 
 
+def sample_lms(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
+               key: Optional[jax.Array] = None, order: int = 4,
+               step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+    """Linear multistep (k-diffusion LMS, order 4).
+
+    Per step the derivative history is combined with Adams-Bashforth-style
+    coefficients c_j = ∫ L_j(t) dt over [sigma_i, sigma_{i+1}], where L_j are
+    Lagrange basis polynomials over the last `order` sigmas.  The integrals
+    are evaluated in-graph (trapezoid, 64 points), so sigma schedules may be
+    traced values.
+    """
+    sig, sig_next = _to_sigma_pairs(sigmas)
+    n = sig.shape[0]
+    M = 64
+
+    def coeff(i, j, cur_order):
+        # nodes sigma_{i-k}, k = 0..cur_order-1
+        t = jnp.linspace(sig[jnp.maximum(i, 0)],
+                         jnp.where(i + 1 < n, sig_next[i], sig_next[i]), M)
+        prod = jnp.ones_like(t)
+        for k in range(order):
+            node_k = sig[jnp.clip(i - k, 0, n - 1)]
+            node_j = sig[jnp.clip(i - j, 0, n - 1)]
+            term = (t - node_k) / (node_j - node_k + 1e-20)
+            use = jnp.logical_and(k != j, k < cur_order)
+            prod = prod * jnp.where(use, term, 1.0)
+        return jnp.trapezoid(prod, t)
+
+    def body(carry, inp):
+        x, hist = carry               # hist [order, ...], most recent first
+        i, s, sn = inp
+        den = denoised_fn(x, s, i)
+        d = (x - den) / s
+        hist = jnp.roll(hist, 1, axis=0).at[0].set(d)
+        cur_order = jnp.minimum(i + 1, order)
+        upd = jnp.zeros_like(x)
+        for j in range(order):
+            c = jnp.where(j < cur_order, coeff(i, j, cur_order), 0.0)
+            upd = upd + c * hist[j]
+        x = x + upd
+        _notify(step_callback, i, x)
+        return (x, hist), None
+
+    steps = jnp.arange(n)
+    hist0 = jnp.zeros((order,) + x.shape, x.dtype)
+    (x, _), _ = jax.lax.scan(body, (x, hist0), (steps, sig, sig_next))
+    return x
+
+
 SAMPLERS = {
     "Euler": sample_euler,
     "Euler a": sample_euler_ancestral,
     "Heun": sample_heun,
     "DPM++ 2M": sample_dpmpp_2m,
     "DDIM": sample_ddim,
+    "LMS": sample_lms,
 }
 
 # samplers whose updates need fresh noise each step

@@ -135,3 +135,30 @@ def test_linear_denoiser_converges_to_analytic(sampler):
     e100, e400 = err(100), err(400)
     assert e400 < e100, f"no convergence: {e100} -> {e400}"
     assert e400 < 0.08, f"error too large at 400 steps: {e400}"
+
+
+def test_lms_perfect_denoiser():
+    from mdu_tpu.samplers import sample_lms
+
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 8, 8)).astype(np.float32))
+    sig = jnp.asarray(NoiseSchedule().sampling_sigmas(8))
+    noisy = x0 + jax.random.normal(jax.random.PRNGKey(1), x0.shape) * sig[0]
+    out = sample_lms(lambda x, s, i: x0, noisy, sig)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-2, rtol=1e-2)
+
+
+def test_lms_converges_to_analytic():
+    from mdu_tpu.samplers import sample_lms
+
+    a = 0.3
+    sch = NoiseSchedule()
+
+    def err(steps):
+        sig = np.asarray(sch.sampling_sigmas(steps))[:-1]
+        out = sample_lms(lambda x, s, i: a * x, jnp.full((1, 2, 2, 2), 5.0),
+                         jnp.asarray(sig))
+        analytic = 5.0 * (sig[-1] / sig[0]) ** (1 - a)
+        return abs(float(np.asarray(out).reshape(-1)[0]) - analytic) / analytic
+
+    e50, e200 = err(50), err(200)
+    assert e200 < e50 and e200 < 0.05, (e50, e200)
