@@ -72,3 +72,27 @@ def test_contributor_table():
     idx, offs, k = build_contributor_table(64, 96, bboxes, 32, 32)
     assert idx.shape[0] == 2 * 3                   # 64/32 x 96/32 blocks
     assert (idx >= -1).all() and k >= 1
+
+
+def test_fused_group_norm_matches_reference(rng):
+    from mdu_tpu.ops.groupnorm import group_norm
+    from mdu_tpu.ops.pallas import fused_group_norm
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 8, 12)).astype(np.float32) * 3 + 1)
+    w = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    want = np.asarray(group_norm(x, 4, w, b))
+    got = np.asarray(fused_group_norm(x, 4, w, b, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_group_norm_bf16(rng):
+    from mdu_tpu.ops.groupnorm import group_norm
+    from mdu_tpu.ops.pallas import fused_group_norm
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 16)), jnp.bfloat16)
+    w = jnp.ones((8,))
+    b = jnp.zeros((8,))
+    want = np.asarray(group_norm(x, 4, w, b)).astype(np.float32)
+    got = np.asarray(fused_group_norm(x, 4, w, b, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
