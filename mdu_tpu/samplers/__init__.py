@@ -15,6 +15,7 @@ from .samplers import (
     sample_euler,
     sample_euler_ancestral,
     sample_heun,
+    sample_dpmpp_2s_ancestral,
     sample_lms,
 )
 from .schedule import NoiseSchedule, ddim_timesteps, sigmas_karras
@@ -24,6 +25,6 @@ __all__ = [
     "denoised_from_model", "scalings",
     "SAMPLERS", "STOCHASTIC_SAMPLERS", "get_sampler", "sample_ddim",
     "sample_dpmpp_2m", "sample_euler", "sample_euler_ancestral", "sample_heun",
-    "sample_lms",
+    "sample_lms", "sample_dpmpp_2s_ancestral",
     "NoiseSchedule", "ddim_timesteps", "sigmas_karras",
 ]

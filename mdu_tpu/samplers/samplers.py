@@ -212,17 +212,55 @@ def sample_lms(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
     return x
 
 
+def sample_dpmpp_2s_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
+                              sigmas: jnp.ndarray, key: jax.Array,
+                              eta: float = 1.0,
+                              step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+    """DPM-Solver++(2S) ancestral (k-diffusion formulation): one midpoint
+    model evaluation per step plus ancestral noise injection."""
+    sig, sig_next = _to_sigma_pairs(sigmas)
+
+    def t_of(s):
+        return -jnp.log(jnp.maximum(s, 1e-10))
+
+    def body(carry, inp):
+        x, k = carry
+        i, s, sn = inp
+        den = denoised_fn(x, s, i)
+        up = jnp.minimum(sn, eta * jnp.sqrt(jnp.maximum(sn**2 * (s**2 - sn**2) / s**2, 0.0)))
+        down = jnp.sqrt(jnp.maximum(sn**2 - up**2, 0.0))
+
+        t, tn = t_of(s), t_of(jnp.maximum(down, 1e-10))
+        h = tn - t
+        s_mid = t + 0.5 * h
+        sig_mid = jnp.exp(-s_mid)
+        x2 = (sig_mid / s) * x - jnp.expm1(-0.5 * h) * den
+        den2 = denoised_fn(x2, sig_mid, i)
+        x_second = (jnp.maximum(down, 1e-10) / s) * x - jnp.expm1(-h) * den2
+
+        x = jnp.where(down > 0, x_second, den)
+        k, sub = jax.random.split(k)
+        x = x + jax.random.normal(sub, x.shape, x.dtype) * up
+        _notify(step_callback, i, x)
+        return (x, k), None
+
+    steps = jnp.arange(sig.shape[0])
+    (x, _), _ = jax.lax.scan(body, (x, key), (steps, sig, sig_next))
+    return x
+
+
 SAMPLERS = {
     "Euler": sample_euler,
     "Euler a": sample_euler_ancestral,
     "Heun": sample_heun,
     "DPM++ 2M": sample_dpmpp_2m,
+    "DPM++ 2S a": sample_dpmpp_2s_ancestral,
     "DDIM": sample_ddim,
     "LMS": sample_lms,
 }
 
 # samplers whose updates need fresh noise each step
-STOCHASTIC_SAMPLERS = {"Euler a"}
+STOCHASTIC_SAMPLERS = {"Euler a", "DPM++ 2S a"}
 
 
 def get_sampler(name: str):

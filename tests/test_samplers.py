@@ -162,3 +162,33 @@ def test_lms_converges_to_analytic():
 
     e50, e200 = err(50), err(200)
     assert e200 < e50 and e200 < 0.05, (e50, e200)
+
+
+def test_dpmpp_2s_a_perfect_denoiser():
+    from mdu_tpu.samplers import sample_dpmpp_2s_ancestral
+
+    x0 = jnp.zeros((1, 4, 8, 8))
+    sig = jnp.asarray(NoiseSchedule().sampling_sigmas(8))
+    noisy = jax.random.normal(jax.random.PRNGKey(1), x0.shape) * sig[0]
+    out = sample_dpmpp_2s_ancestral(lambda x, s, i: x0, noisy, sig,
+                                    jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-4)
+
+
+def test_dpmpp_2s_a_deterministic_converges():
+    """With eta=0 (no noise) it is a plain 2nd-order ODE solver."""
+    from mdu_tpu.samplers import sample_dpmpp_2s_ancestral
+
+    a = 0.3
+    sch = NoiseSchedule()
+
+    def err(steps):
+        sig = np.asarray(sch.sampling_sigmas(steps))[:-1]
+        out = sample_dpmpp_2s_ancestral(
+            lambda x, s, i: a * x, jnp.full((1, 2, 2, 2), 5.0),
+            jnp.asarray(sig), jax.random.PRNGKey(0), eta=0.0)
+        analytic = 5.0 * (sig[-1] / sig[0]) ** (1 - a)
+        return abs(float(np.asarray(out).reshape(-1)[0]) - analytic) / analytic
+
+    e50, e200 = err(50), err(200)
+    assert e200 < e50 and e200 < 0.05, (e50, e200)
