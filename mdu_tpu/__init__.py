@@ -22,8 +22,26 @@ from .config import (
 )
 from .utils import BBox, BlendMode, RegionSpec
 
+def __getattr__(name):
+    # lazy heavyweight exports: keep `import mdu_tpu` cheap
+    if name == "DiffusionPipeline":
+        from .pipeline import DiffusionPipeline
+
+        return DiffusionPipeline
+    if name == "load_pipeline":
+        from .models.loader import load_pipeline
+
+        return load_pipeline
+    if name == "TextConditioner":
+        from .text import TextConditioner
+
+        return TextConditioner
+    raise AttributeError(name)
+
+
 __all__ = [
     "BBox", "BlendMode", "RegionSpec", "Method",
+    "DiffusionPipeline", "load_pipeline", "TextConditioner",
     "TiledDiffusionConfig", "TiledVAEConfig", "DemoFusionConfig", "SamplerConfig",
     "regions_from_json", "regions_to_json",
     "__version__",

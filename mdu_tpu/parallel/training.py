@@ -52,6 +52,7 @@ def make_train_step(
     mesh: Mesh,
     schedule: NoiseSchedule = None,
     learning_rate: float = 1e-5,
+    remat: bool = False,
 ):
     """Returns (init_state, train_step) jitted over the mesh.
 
@@ -62,6 +63,11 @@ def make_train_step(
     tx = optax.adamw(learning_rate)
     ac = jnp.asarray(schedule.alphas_cumprod)
 
+    apply_fn = unet.apply
+    if remat:
+        # rematerialize the UNet forward: trade FLOPs for activation memory
+        apply_fn = jax.checkpoint(unet.apply, static_argnums=())
+
     def loss_fn(params, batch, key):
         lat = batch["latents"]
         B = lat.shape[0]
@@ -70,8 +76,8 @@ def make_train_step(
         noise = jax.random.normal(k2, lat.shape, lat.dtype)
         a = ac[t].reshape(B, 1, 1, 1)
         x_t = jnp.sqrt(a) * lat + jnp.sqrt(1 - a) * noise
-        pred = unet.apply(params, x_t, t.astype(jnp.float32),
-                          batch["context"], batch.get("added_cond"))
+        pred = apply_fn(params, x_t, t.astype(jnp.float32),
+                        batch["context"], batch.get("added_cond"))
         target = noise  # epsilon objective
         return jnp.mean((pred - target) ** 2)
 

@@ -141,3 +141,21 @@ def test_sharded_mod_denoiser_matches_single_device(rng):
     out_single = jax.jit(single)(x, s, jnp.asarray(0))
     np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_single),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_train_step_with_remat(rng):
+    from mdu_tpu.models import UNet2DCondition, random_params, tiny_unet_config
+
+    cfg = tiny_unet_config()
+    unet = UNet2DCondition(cfg)
+    mesh = make_train_mesh(dp=2, tp=1)
+    lat = jnp.asarray(rng.normal(size=(2, 4, 16, 16)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(2, 7, cfg.cross_attention_dim)).astype(np.float32))
+    params = random_params(unet, 0, lat[:1], jnp.zeros((1,)), ctx[:1])
+    init_state, jitted = make_train_step(unet, mesh, remat=True)
+    with mesh:
+        params, opt_state, p_shard = init_state(params)
+        step = jitted(p_shard)
+        _, _, loss = step(params, opt_state, {"latents": lat, "context": ctx},
+                          jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))

@@ -182,3 +182,19 @@ def test_streaming_vae_through_pipeline(pipe):
     assert res.images.shape == ref.images.shape
     # exact streaming == exact lockstep up to fp noise -> identical uint8 ±1
     assert np.abs(res.images.astype(int) - ref.images.astype(int)).max() <= 1
+
+
+def test_mod_single_tile_equals_untiled(pipe):
+    """MoD degenerate case: one tile covering the canvas fuses to exactly
+    the plain denoiser output (gaussian * 1/gaussian == 1)."""
+    from mdu_tpu.config import Method
+    from mdu_tpu.tiling.schedulers import make_tiled_denoiser, plan_tiled_diffusion
+
+    plan = plan_tiled_diffusion(Method.MIX_DIFF, 16, 16, tile_h=16, tile_w=16,
+                                overlap=8, tile_bs=1)
+    assert len(plan.bboxes) == 1
+    fn = make_tiled_denoiser(plan, lambda f, s, i, bb, bi: 3.0 * f - 1.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16))
+    out = jax.jit(fn)(x, jnp.asarray(1.0), jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(out), 3.0 * np.asarray(x) - 1.0,
+                               rtol=2e-5, atol=2e-5)
