@@ -205,6 +205,13 @@ def demofusion_generate(
             raise ValueError(
                 "DemoFusion currently supports plain cond pytrees "
                 "(no prompt scheduling / AND composition)")
+        if isinstance(c, dict) and c.get("concat") is not None \
+                and getattr(c["concat"], "ndim", 0) == 4 \
+                and c["concat"].shape[-1] > 1:
+            raise ValueError(
+                "DemoFusion does not support spatial image conditioning "
+                "(inpaint-model concat) yet — views would need per-window "
+                "slicing of the cond leaf")
     h0, w0 = height // 8, width // 8
     key = jax.random.PRNGKey(seed)
 

@@ -159,3 +159,18 @@ def test_train_step_with_remat(rng):
         _, _, loss = step(params, opt_state, {"latents": lat, "context": ctx},
                           jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
+
+
+def test_sharded_fusion_deterministic(rng):
+    """North star 'bitwise-stable blending': the sharded fused canvas is
+    bitwise identical across runs (fixed accumulation order per device +
+    deterministic psum)."""
+    plan = plan_tiled_diffusion(Method.MULTI_DIFF, 64, 96, tile_h=32, tile_w=32,
+                                overlap=16, tile_bs=2)
+    x = jnp.asarray(rng.normal(size=(1, 4, 64, 96)).astype(np.float32))
+    mesh = make_tile_mesh(8)
+    den = make_sharded_tile_denoiser(mesh, plan, lambda t, s: jnp.sin(t) * 1.7 + s)
+    f = jax.jit(den)
+    a = np.asarray(f(x, jnp.asarray(0.3), jnp.asarray(0)))
+    b = np.asarray(f(x, jnp.asarray(0.3), jnp.asarray(0)))
+    np.testing.assert_array_equal(a, b)
