@@ -21,6 +21,22 @@ from ..ops.tile_context import TileContext, tile_group_norm
 Dtype = Any
 
 
+def _use_fused_group_norm() -> bool:
+    """Opt-in Pallas fused GroupNorm (set MDU_FUSED_GN=1; TPU only).
+
+    Off by default until A/B'd on-chip — ROADMAP.md item 1."""
+    import os
+
+    if os.environ.get("MDU_FUSED_GN") != "1":
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _conv_kernel_init(key, shape, dtype):
     # He-uniform over fan_in, matching torch's default Conv2d init closely
     fan_in = shape[1] * shape[2] * shape[3]
@@ -120,6 +136,15 @@ class GroupNorm(nn.Module):
             self.sow("gn_stats", "stats", (mean, var),
                      init_fn=lambda: (mean, var), reduce_fn=lambda old, new: new)
             return apply_group_norm(x, self.num_groups, mean, var, w, b, self.eps).astype(self.dtype)
+
+        if ctx is None and _use_fused_group_norm():
+            B, C, H, W = x.shape
+            block_bytes = (C // self.num_groups) * H * W * 4
+            if block_bytes <= 4 * 2**20:       # per-(b,g) block must fit VMEM
+                from ..ops.pallas import fused_group_norm
+
+                return fused_group_norm(x, self.num_groups, w, b,
+                                        self.eps).astype(self.dtype)
 
         return tile_group_norm(x, self.num_groups, w, b, ctx, self.eps).astype(self.dtype)
 
