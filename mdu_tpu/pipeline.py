@@ -320,10 +320,11 @@ class DiffusionPipeline:
             jax.random.normal(jax.random.PRNGKey(seed + i),
                               (1, self.unet.cfg.out_channels, h, w), jnp.float32)
             for i in range(batch_size)], axis=0)
+        region_seeds = None
         if plan is not None and plan.regions:
-            seeds = [resolve_seed(r.seed, jax.random.fold_in(key, 1000 + i))
-                     for i, r in enumerate(plan.regions)]
-            noise = compose_region_noise(noise, plan.regions, seeds)
+            region_seeds = [resolve_seed(r.seed, jax.random.fold_in(key, 1000 + i))
+                            for i, r in enumerate(plan.regions)]
+            noise = compose_region_noise(noise, plan.regions, region_seeds)
 
         sigmas = jnp.asarray(self.schedule.sampling_sigmas(sp.steps, sp.schedule))
         sampler_fn = get_sampler(sp.name)
@@ -358,7 +359,7 @@ class DiffusionPipeline:
                                                tuple(region_conds), sg, xx, sk)
             )(self.unet_params, rparams, sigmas, x, skey)
         images = self._decode(latents, tiled_vae) if decode else None
-        info = self._info(sp, tiled_diffusion, seed)
+        info = self._info(sp, tiled_diffusion, seed, region_seeds)
         return GenerationResult(images, latents, seed, info)
 
     # --------------------------------------------------------------- img2img
@@ -397,10 +398,11 @@ class DiffusionPipeline:
 
         plan = self._plan(td, h, w)
         noise = jax.random.normal(key, init_latent.shape, jnp.float32)
+        region_seeds = None
         if plan is not None and plan.regions:
-            seeds = [resolve_seed(r.seed, jax.random.fold_in(key, 1000 + i))
-                     for i, r in enumerate(plan.regions)]
-            noise = compose_region_noise(noise, plan.regions, seeds)
+            region_seeds = [resolve_seed(r.seed, jax.random.fold_in(key, 1000 + i))
+                            for i, r in enumerate(plan.regions)]
+            noise = compose_region_noise(noise, plan.regions, region_seeds)
 
         # truncated schedule (A1111 setup_img2img_steps)
         steps, t_enc = self.schedule.img2img_steps(sp.steps, sp.denoising_strength)
@@ -464,7 +466,7 @@ class DiffusionPipeline:
             )(self.unet_params, rparams, sigmas, x, skey,
               None if latent_mask is None else (init_latent, latent_mask))
         images = self._decode(latents, tiled_vae) if decode else None
-        info = self._info(sp, td, seed)
+        info = self._info(sp, td, seed, region_seeds)
         return GenerationResult(images, latents, seed, info)
 
     # ------------------------------------------------------- noise inversion
@@ -638,8 +640,10 @@ class DiffusionPipeline:
 
     # ------------------------------------------------------------------ misc
 
-    def _info(self, sp: SamplerConfig, td: Optional[TiledDiffusionConfig], seed: int):
-        """PNG-info style metadata (ref tilediffusion.py:321-342)."""
+    def _info(self, sp: SamplerConfig, td: Optional[TiledDiffusionConfig], seed: int,
+              region_seeds=None):
+        """PNG-info style metadata (ref tilediffusion.py:321-342); region
+        entries carry their *resolved* seeds (ref :521)."""
         info: Dict[str, Any] = {
             "Sampler": sp.name, "Steps": sp.steps, "CFG scale": sp.cfg_scale,
             "Seed": seed,
@@ -661,10 +665,13 @@ class DiffusionPipeline:
                     "NoiseInv Kernel size": td.noise_inverse_renoise_kernel,
                 })
             if td.regions:
-                block["Region control"] = {
-                    f"Region {i+1}": dataclasses.asdict(r)
-                    for i, r in enumerate(td.regions)
-                }
+                region_info = {}
+                for i, r in enumerate(td.regions):
+                    d = dataclasses.asdict(r)
+                    if region_seeds is not None and i < len(region_seeds):
+                        d["seed"] = int(region_seeds[i])
+                    region_info[f"Region {i+1}"] = d
+                block["Region control"] = region_info
             info["Tiled Diffusion"] = block
         return info
 
@@ -685,3 +692,23 @@ class DiffusionPipeline:
         """Clear the noise-inversion cache (ref 'Free GPU' button,
         tilediffusion.py:591-593)."""
         self.noise_inverse_cache = None
+
+    def reset(self, clear_compiled: bool = True):
+        """Drop caches and report memory (ref reset_and_gc,
+        tilediffusion.py:579-609).  Returns the report dict."""
+        import gc
+
+        from .utils.telemetry import device_memory_mb, device_peak_memory_mb
+
+        self.free_cache()
+        if clear_compiled:
+            self._jit_cache.clear()
+        gc.collect()
+        report = {
+            "hbm_in_use_mb": device_memory_mb(),
+            "hbm_peak_mb": device_peak_memory_mb(),
+        }
+        print(f"[Tiled Diffusion] reset: HBM in use "
+              f"{report['hbm_in_use_mb']} MB, peak {report['hbm_peak_mb']} MB",
+              file=__import__('sys').stderr)
+        return report

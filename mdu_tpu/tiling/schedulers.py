@@ -98,8 +98,16 @@ def plan_tiled_diffusion(
     tile_w = min(tile_w, latent_w)
     overlap = clamp_overlap(tile_w, tile_h, overlap)
 
-    region_bboxes = tuple(
-        r.to_bbox(latent_w, latent_h) for r in regions if r.validate())
+    import os
+    max_regions = int(os.environ.get("MDU_MAX_REGIONS", "8"))
+    valid = [r for r in regions if r.validate()]
+    if len(valid) > max_regions:
+        import sys
+        print(f"[Tiled Diffusion] warning: {len(valid)} regions exceeds "
+              f"MDU_MAX_REGIONS={max_regions}; extra regions dropped "
+              "(ref --md_max_regions)", file=sys.stderr)
+        valid = valid[:max_regions]
+    region_bboxes = tuple(r.to_bbox(latent_w, latent_h) for r in valid)
     for i, r in enumerate(region_bboxes):
         if r.w * r.h > 0.25 * latent_w * latent_h:
             import sys

@@ -198,3 +198,22 @@ def test_mod_single_tile_equals_untiled(pipe):
     out = jax.jit(fn)(x, jnp.asarray(1.0), jnp.asarray(0))
     np.testing.assert_allclose(np.asarray(out), 3.0 * np.asarray(x) - 1.0,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_region_seed_resolved_in_metadata(pipe):
+    regions = [RegionSpec(0.0, 0.0, 0.5, 1.0, "left", seed=-1)]
+    td = dataclasses.replace(TD, regions=regions)
+    res = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=7,
+                       tiled_diffusion=td, region_conds=[(_cond(10), None)],
+                       decode=False)
+    info_seed = res.info["Tiled Diffusion"]["Region control"]["Region 1"]["seed"]
+    assert info_seed != -1          # -1 must be replaced by the drawn seed
+
+
+def test_reset_reports_and_clears(pipe):
+    pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=1,
+                 tiled_diffusion=TD, decode=False)
+    assert len(pipe._jit_cache) > 0
+    report = pipe.reset()
+    assert pipe._jit_cache == {} and pipe.noise_inverse_cache is None
+    assert "hbm_in_use_mb" in report
