@@ -249,6 +249,11 @@ def _unet_config_from_json(d: Optional[dict]):
         transformer_layers=layers,
         use_linear_projection=d.get("use_linear_projection", False),
         addition_embed_type=d.get("addition_embed_type"),
+        addition_time_embed_dim=d.get("addition_time_embed_dim", 256),
+        addition_pooled_dim=(
+            d["projection_class_embeddings_input_dim"]
+            - 6 * d.get("addition_time_embed_dim", 256)
+            if "projection_class_embeddings_input_dim" in d else 1280),
         norm_num_groups=d.get("norm_num_groups", 32),
     )
 
@@ -271,14 +276,14 @@ def _vae_config_from_json(d: Optional[dict]):
     )
 
 
-def _clip_config_from_json(d: Optional[dict]):
+def _clip_config_from_json(d: Optional[dict], clip_skip: int = 1):
     import dataclasses
 
     from .clip import clip_l_config
 
     cfg = clip_l_config()
     if not d:
-        return cfg
+        return dataclasses.replace(cfg, clip_skip=clip_skip)
     return dataclasses.replace(
         cfg,
         vocab_size=d.get("vocab_size", cfg.vocab_size),
@@ -287,6 +292,8 @@ def _clip_config_from_json(d: Optional[dict]):
         num_heads=d.get("num_attention_heads", cfg.num_heads),
         max_length=d.get("max_position_embeddings", cfg.max_length),
         hidden_act=d.get("hidden_act", cfg.hidden_act),
+        projection_dim=d.get("projection_dim") if "projection_dim" in d else cfg.projection_dim,
+        clip_skip=clip_skip,
     )
 
 
@@ -306,7 +313,11 @@ def load_pipeline(model_dir: str, dtype=jnp.float32, schedule=None):
 
     ucfg = _unet_config_from_json(_read_json(os.path.join(model_dir, "unet", "config.json")))
     vcfg = _vae_config_from_json(_read_json(os.path.join(model_dir, "vae", "config.json")))
-    ccfg = _clip_config_from_json(_read_json(os.path.join(model_dir, "text_encoder", "config.json")))
+    is_sdxl = ucfg.addition_embed_type == "text_time" or os.path.exists(
+        os.path.join(model_dir, "text_encoder_2"))
+    ccfg = _clip_config_from_json(
+        _read_json(os.path.join(model_dir, "text_encoder", "config.json")),
+        clip_skip=2 if is_sdxl else 1)
     unet = UNet2DCondition(ucfg, dtype=dtype)
     vae = AutoencoderKL(vcfg, dtype=dtype)
     clip = CLIPTextModel(ccfg, dtype=dtype)
@@ -352,4 +363,21 @@ def load_pipeline(model_dir: str, dtype=jnp.float32, schedule=None):
 
     pipe = DiffusionPipeline(unet, unet_params, vae, vae_params, schedule)
     conditioner = TextConditioner(clip, clip_params, tok)
+
+    te2_dir = os.path.join(model_dir, "text_encoder_2")
+    if is_sdxl and os.path.exists(te2_dir):
+        from ..text.sdxl import SDXLConditioner
+
+        ccfg2 = _clip_config_from_json(
+            _read_json(os.path.join(te2_dir, "config.json")), clip_skip=2)
+        clip2 = CLIPTextModel(ccfg2, dtype=dtype)
+        c2_state = load_safetensors(os.path.join(te2_dir, "model.safetensors"))
+        c2_shapes = shapes(clip2, jnp.zeros((1, ccfg2.max_length), jnp.int32))
+        clip2_params = convert_params(c2_shapes, c2_state, translate_clip_name)
+        tok2 = CLIPTokenizer.from_files(
+            os.path.join(model_dir, "tokenizer_2", "vocab.json"),
+            os.path.join(model_dir, "tokenizer_2", "merges.txt"),
+            pad_with_eot=False)                  # OpenCLIP pads with 0
+        conditioner = SDXLConditioner(
+            conditioner, TextConditioner(clip2, clip2_params, tok2))
     return pipe, conditioner

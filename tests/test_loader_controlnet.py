@@ -155,3 +155,85 @@ def test_controlnet_translation_keys():
         "time_embedding.linear_1.weight",
     ]:
         assert k in keys, f"missing {k}"
+
+
+def test_load_pipeline_sdxl_folder(tmp_path):
+    """A tiny SDXL-layout checkpoint folder loads into an SDXLConditioner +
+    pipeline that generates end to end."""
+    import dataclasses
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    from mdu_tpu.models.loader import (load_pipeline, translate_clip_name,
+                                       translate_vae_name)
+    from mdu_tpu.models import VAEConfig, CLIPTextConfig
+    from mdu_tpu.models.unet import UNetConfig
+    from mdu_tpu.text.sdxl import SDXLConditioner
+
+    root = tmp_path / "sdxl"
+    rng = np.random.default_rng(0)
+
+    def dump(module, init_args, translate, sub, fname, cfg_json):
+        shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *init_args))
+        flat = traverse_util.flatten_dict(shapes["params"], sep="/")
+        state = {translate(n): (rng.normal(size=l.shape) * 0.05).astype(np.float32)
+                 for n, l in flat.items()}
+        os.makedirs(root / sub, exist_ok=True)
+        save_file(state, str(root / sub / fname))
+        json.dump(cfg_json, open(root / sub / "config.json", "w"))
+
+    ucfg = UNetConfig(block_out_channels=(8, 16, 16), cross_attention_dim=16,
+                      num_heads=None, head_dim=8, transformer_layers=(0, 1, 2),
+                      use_linear_projection=True, addition_embed_type="text_time",
+                      addition_time_embed_dim=8, addition_pooled_dim=16,
+                      norm_num_groups=4)
+    unet = UNet2DCondition(ucfg)
+    added = {"text_embeds": jnp.zeros((1, 16)), "time_ids": jnp.ones((1, 6))}
+    dump(unet, (jnp.zeros((1, 4, 8, 8)), jnp.zeros((1,)),
+                jnp.zeros((1, 77, 16)), added), translate_unet_name,
+         "unet", "diffusion_pytorch_model.safetensors",
+         {"block_out_channels": [8, 16, 16], "cross_attention_dim": 16,
+          "attention_head_dim": [8, 8, 8], "norm_num_groups": 4,
+          "transformer_layers_per_block": [0, 1, 2],
+          "use_linear_projection": True, "addition_embed_type": "text_time",
+          "addition_time_embed_dim": 8,
+          "projection_class_embeddings_input_dim": 16 + 6 * 8,
+          "down_block_types": ["DownBlock2D", "CrossAttnDownBlock2D",
+                                "CrossAttnDownBlock2D"]})
+    vcfg = dataclasses.replace(VAEConfig(), block_out_channels=(8, 8, 16, 16),
+                               norm_num_groups=4)
+    vae = AutoencoderKL(vcfg)
+    dump(vae, (jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0)),
+         translate_vae_name, "vae", "diffusion_pytorch_model.safetensors",
+         {"block_out_channels": [8, 8, 16, 16], "norm_num_groups": 4})
+
+    for sub, hidden, proj in (("text_encoder", 8, None), ("text_encoder_2", 8, 16)):
+        ccfg = CLIPTextConfig(vocab_size=100, hidden_size=hidden, num_layers=2,
+                              num_heads=2, max_length=77, projection_dim=proj,
+                              clip_skip=2)
+        clip = CLIPTextModel(ccfg)
+        cfg_json = {"vocab_size": 100, "hidden_size": hidden,
+                    "num_hidden_layers": 2, "num_attention_heads": 2,
+                    "max_position_embeddings": 77}
+        if proj:
+            cfg_json["projection_dim"] = proj
+        dump(clip, (jnp.zeros((1, 77), jnp.int32),), translate_clip_name,
+             sub, "model.safetensors", cfg_json)
+
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1, "a</w>": 2, "cat</w>": 3}
+    for tdir in ("tokenizer", "tokenizer_2"):
+        os.makedirs(root / tdir, exist_ok=True)
+        json.dump(vocab, open(root / tdir / "vocab.json", "w"))
+        open(root / tdir / "merges.txt", "w").write("#v\n")
+
+    pipe, conditioner = load_pipeline(str(root))
+    assert isinstance(conditioner, SDXLConditioner)
+    cond, uncond = conditioner.pair("a cat", "", 128, 128)
+    assert cond["crossattn"].shape[-1] == 16     # 8 + 8
+    assert cond["vector"].shape == (1, 16)
+    from mdu_tpu.config import SamplerConfig
+    res = pipe.txt2img(cond, uncond, 128, 128, SamplerConfig(steps=2), seed=1,
+                       decode=False)
+    assert np.isfinite(np.asarray(res.latents)).all()
