@@ -33,6 +33,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--out", default="out.png")
     p.add_argument("--bf16", action="store_true", help="bfloat16 weights/compute")
+    p.add_argument("--lora", action="append", default=[],
+                   help="LoRA safetensors to merge, as path[:weight]; repeatable")
     # tiled diffusion knobs (ref tilediffusion.py:127-132 defaults)
     p.add_argument("--method", default="MultiDiffusion",
                    choices=["MultiDiffusion", "Mixture of Diffusers"])
@@ -63,7 +65,22 @@ def _load(args):
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     print(f"loading checkpoint from {args.model_dir} ...", file=sys.stderr)
-    return load_pipeline(args.model_dir, dtype=dtype)
+    pipe, conditioner = load_pipeline(args.model_dir, dtype=dtype)
+    for spec in getattr(args, "lora", []):
+        from .models.loader import load_safetensors
+        from .models.lora import merge_lora
+
+        path, _, w = spec.rpartition(":")
+        if not path:                    # no :weight suffix
+            path, w = spec, "1.0"
+        try:
+            weight = float(w)
+        except ValueError:
+            path, weight = spec, 1.0
+        print(f"merging LoRA {path} @ {weight}", file=sys.stderr)
+        pipe.unet_params = merge_lora(pipe.unet_params, load_safetensors(path),
+                                      scale=weight)
+    return pipe, conditioner
 
 
 def _configs(args):

@@ -92,3 +92,31 @@ def test_demofusion_generate_end_to_end():
     # base 16x16 latent -> phase 2: 32x32
     assert res.latents.shape == (1, 4, 32, 32)
     assert np.isfinite(np.asarray(res.latents)).all()
+
+
+def test_demofusion_sdxl_conds():
+    """DemoFusion passes SDXL vector/time_ids conds through its view batching."""
+    from mdu_tpu.models import (AutoencoderKL, UNet2DCondition, random_params,
+                                tiny_sdxl_unet_config, tiny_vae_config)
+    from mdu_tpu.pipeline import DiffusionPipeline
+
+    ucfg = tiny_sdxl_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(tiny_vae_config())
+    added = {"text_embeds": jnp.zeros((1, ucfg.addition_pooled_dim)),
+             "time_ids": jnp.ones((1, 6))}
+    up = random_params(unet, 0, jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
+                       jnp.zeros((1, 7, ucfg.cross_attention_dim)), added)
+    vp = random_params(vae, 1, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
+    pipe = DiffusionPipeline(unet, up, vae, vp)
+
+    cond = {"crossattn": jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16)) * 0.1,
+            "vector": jnp.ones((1, ucfg.addition_pooled_dim)) * 0.1,
+            "time_ids": jnp.asarray([[128.0, 128, 0, 0, 128, 128]])}
+    uncond = dict(cond, crossattn=jnp.zeros((1, 7, 16)))
+    cfg = dataclasses.replace(CFG, scale_factor=2)
+    res = pipe.demofusion(cond, uncond, 128, 128, cfg,
+                          SamplerConfig(steps=2, denoising_strength=0.6),
+                          seed=3, decode=False)
+    assert res.latents.shape == (1, 4, 32, 32)
+    assert np.isfinite(np.asarray(res.latents)).all()
