@@ -153,6 +153,20 @@ def plan_tiled_diffusion(
         region_weights=tuple(region_weights))
 
 
+def _use_fused_blend() -> bool:
+    """Opt-in Pallas fused tile blend (MDU_FUSED_BLEND=1, TPU only)."""
+    import os
+
+    if os.environ.get("MDU_FUSED_BLEND") != "1":
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def make_tiled_denoiser(
     plan: DiffusionTilePlan,
     tile_denoise: TileDenoiseFn,
@@ -196,21 +210,38 @@ def make_tiled_denoiser(
             return org_fn(x, sigma, step)
 
         buf = jnp.zeros_like(x)
+        fused_grid = (not is_mod and not plan.regions and plan.draw_background
+                      and _use_fused_blend())
 
         if plan.draw_background:
             tidx = 0
+            all_out = [] if fused_grid else None
             for batch_i, bboxes in enumerate(plan.batched):
                 tiles = gather_tiles(x, bboxes)          # [K, B, C, th, tw]
                 K = tiles.shape[0]
                 flat = tiles.reshape(K * B, C, plan.tile_h, plan.tile_w)
                 out = tile_denoise(flat, sigma, step, bboxes, batch_i)
                 out = out.reshape(K, B, C, plan.tile_h, plan.tile_w)
+                if fused_grid:
+                    all_out.append(out)
+                    tidx += len(bboxes)
+                    continue
                 for k, b in enumerate(bboxes):
                     t = out[k]
                     if is_mod:
                         t = t * per_tile_w[tidx + k]
                     buf = buf.at[:, :, b.y:b.y + b.h, b.x:b.x + b.w].add(t)
                 tidx += len(bboxes)
+
+            if fused_grid:
+                from ..ops.pallas import fused_tile_blend
+
+                stacked = jnp.concatenate(all_out, axis=0)   # [T, B, C, th, tw]
+                T = stacked.shape[0]
+                folded = stacked.reshape(T, B * C, plan.tile_h, plan.tile_w)
+                fused = fused_tile_blend(folded, weights[0, 0], plan.h, plan.w,
+                                         plan.bboxes)
+                return fused.reshape(B, C, plan.h, plan.w)
 
         feather_buf = feather_msk = feather_cnt = None
         for i, r in enumerate(plan.regions):

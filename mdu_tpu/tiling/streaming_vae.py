@@ -229,18 +229,28 @@ def streaming_tiled_vae(
     stats = None
     for si in range(len(spans)):
         parts = []
-        for g in range(n_groups):
+        st_in = (None if stats is None else
+                 (jnp.asarray(np.tile(stats[0], (group_size, 1))),
+                  jnp.asarray(np.tile(stats[1], (group_size, 1)))))
+
+        def launch(g):
             r_in = (jnp.zeros((1,), x.dtype) if res[g] is None
                     else jnp.asarray(res[g]))
-            st_in = (None if stats is None else
-                     (jnp.asarray(np.tile(stats[0], (group_size, 1))),
-                      jnp.asarray(np.tile(stats[1], (group_size, 1)))))
-            xg, rg, pg = seg_fns[si](jnp.asarray(cur[g]), r_in,
-                                     jnp.asarray(gmasks[g]), st_in)
+            return seg_fns[si](jnp.asarray(cur[g]), r_in,
+                               jnp.asarray(gmasks[g]), st_in)
+
+        # window-of-1 prefetch: group g+1's device work is enqueued before
+        # group g's host conversion blocks (the zigzag-swap overlap, but
+        # async-dispatch shaped)
+        pending = launch(0)
+        for g in range(n_groups):
+            nxt = launch(g + 1) if g + 1 < n_groups else None
+            xg, rg, pg = pending
             cur[g] = np.asarray(xg)
             res[g] = np.asarray(rg)
             if pg is not None:
                 parts.append(pg)
+            pending = nxt
         stats = _pool(parts, B) if parts else None
 
     # assemble owned regions into the output canvas
