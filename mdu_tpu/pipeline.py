@@ -544,7 +544,7 @@ class DiffusionPipeline:
         prev = jnp.concatenate([jnp.zeros((1,)), sig_asc[:-1]])
         steps_arr = jnp.arange(steps)
 
-        def run(uparams, x):
+        def run(uparams, cond, x):
             model_fn = self._model_fn(uparams)
 
             def eps_tile(flat, sigma, step, bboxes, batch_i):
@@ -577,7 +577,9 @@ class DiffusionPipeline:
             out, _ = jax.lax.scan(body, x, (steps_arr, sig_asc, prev))
             return out / sig_asc[-1]
 
-        return jax.jit(run)(self.unet_params, init_latent)
+        jkey = ("noise_inv", plan.cache_key() if plan else None, steps, retouch)
+        runner = self._cached_jit(jkey, lambda: run)
+        return runner(self.unet_params, cond, init_latent)
 
     def _raw_eps(self, model_fn, x, sigma, cond, retouch):
         t = self.schedule.t_for_sigma(jnp.atleast_1d(sigma)) / retouch
