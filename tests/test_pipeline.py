@@ -217,3 +217,24 @@ def test_reset_reports_and_clears(pipe):
     report = pipe.reset()
     assert pipe._jit_cache == {} and pipe.noise_inverse_cache is None
     assert "hbm_in_use_mb" in report
+
+
+def test_noise_inverse_regional_reweighting(pipe, rng):
+    """Regional inpainting + noise inversion without background: the fresh
+    noise is reweighted from BG/FG regions before blending
+    (ref abstractdiffusion.py:655-673)."""
+    img = (rng.uniform(0, 255, size=(128, 128, 3))).astype(np.uint8)
+    regions = [
+        RegionSpec(0.0, 0.0, 0.5, 1.0, "left", seed=1),
+        RegionSpec(0.5, 0.0, 0.5, 1.0, "right",
+                   blend_mode=BlendMode.FOREGROUND, feather_ratio=0.4, seed=2),
+    ]
+    td = dataclasses.replace(
+        TD, regions=regions, draw_background=False,
+        noise_inverse=True, noise_inverse_steps=2,
+        noise_inverse_renoise_strength=0.8, noise_inverse_renoise_kernel=8)
+    rc = [(_cond(10), _cond(11)), (_cond(12), _cond(13))]
+    res = pipe.img2img(img, _cond(0), _cond(1), sampler=SAMPLER, seed=9,
+                       tiled_diffusion=td, region_conds=rc, decode=False)
+    assert np.isfinite(np.asarray(res.latents)).all()
+    pipe.free_cache()
