@@ -104,6 +104,11 @@ class SamplerConfig:
     eta: float = 0.0
     denoising_strength: float = 0.75   # img2img only
     schedule: str = "automatic"        # automatic | karras
+    # Karras churn knobs (A1111 s_churn/s_tmin/s_tmax/s_noise; Euler & Heun)
+    s_churn: float = 0.0
+    s_tmin: float = 0.0
+    s_tmax: float = float("inf")
+    s_noise: float = 1.0
 
 
 def regions_to_json(regions: List[RegionSpec]) -> str:

@@ -337,16 +337,21 @@ class DiffusionPipeline:
                                                 rc, latent_hw=(h, w),
                                                 unet_params=uparams,
                                                 region_unet_params=rparams)
+                kw = {"step_callback": step_callback}
+                if sp.s_churn > 0 and sp.name in ("Euler", "Heun"):
+                    kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
+                              s_tmax=sp.s_tmax, s_noise=sp.s_noise)
+                    return sampler_fn(den_fn, x, sigmas, skey, **kw)
                 if sp.name in STOCHASTIC_SAMPLERS:
-                    return sampler_fn(den_fn, x, sigmas, skey, step_callback=step_callback)
-                return sampler_fn(den_fn, x, sigmas, step_callback=step_callback)
+                    return sampler_fn(den_fn, x, sigmas, skey, **kw)
+                return sampler_fn(den_fn, x, sigmas, **kw)
 
             return run
 
         rparams = tuple(region_unet_params or ()) or None
         if self._cacheable(cond, uncond, *(c for p in region_conds for c in p)):
             jkey = ("txt2img", plan.cache_key() if plan else (h, w), sp.name,
-                    sp.cfg_scale, uncond is None, len(region_conds),
+                    sp.cfg_scale, sp.s_churn, uncond is None, len(region_conds),
                     id(step_callback) if step_callback else None)
             runner = self._cached_jit(jkey, builder)
             latents = runner(self.unet_params, rparams, cond, uncond,
@@ -441,16 +446,21 @@ class DiffusionPipeline:
                     def den_fn(xx, ss, ii):  # noqa: F811
                         return init_lat * (1 - lm) + inner(xx, ss, ii) * lm
 
+                kw = {"step_callback": step_callback}
+                if sp.s_churn > 0 and sp.name in ("Euler", "Heun"):
+                    kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
+                              s_tmax=sp.s_tmax, s_noise=sp.s_noise)
+                    return sampler_fn(den_fn, x, sigmas, skey, **kw)
                 if sp.name in STOCHASTIC_SAMPLERS:
-                    return sampler_fn(den_fn, x, sigmas, skey, step_callback=step_callback)
-                return sampler_fn(den_fn, x, sigmas, step_callback=step_callback)
+                    return sampler_fn(den_fn, x, sigmas, skey, **kw)
+                return sampler_fn(den_fn, x, sigmas, **kw)
 
             return run
 
         rparams = tuple(region_unet_params or ()) or None
         if self._cacheable(cond, uncond, *(c for p in region_conds for c in p)):
             jkey = ("img2img", plan.cache_key() if plan else (h, w), sp.name,
-                    sp.cfg_scale, uncond is None, len(region_conds),
+                    sp.cfg_scale, sp.s_churn, uncond is None, len(region_conds),
                     latent_mask is not None,
                     id(step_callback) if step_callback else None)
             runner = self._cached_jit(jkey, builder)

@@ -33,20 +33,39 @@ def _to_sigma_pairs(sigmas: jnp.ndarray):
     return sigmas[:-1], sigmas[1:]
 
 
+def _churn(x, s, i, key, n_steps, s_churn, s_tmin, s_tmax, s_noise):
+    """Karras sigma churn: bump sigma and add matched noise (k-diffusion
+    sample_euler/heun gamma logic)."""
+    gamma = jnp.where(
+        jnp.logical_and(s >= s_tmin, s <= s_tmax),
+        jnp.minimum(s_churn / jnp.maximum(n_steps - 1, 1), 2**0.5 - 1), 0.0)
+    s_hat = s * (1.0 + gamma)
+    sub = jax.random.fold_in(key, i)
+    eps = jax.random.normal(sub, x.shape, x.dtype) * s_noise
+    x = x + eps * jnp.sqrt(jnp.maximum(s_hat**2 - s**2, 0.0))
+    return x, s_hat
+
+
 def sample_euler(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
                  key: Optional[jax.Array] = None,
+                 s_churn: float = 0.0, s_tmin: float = 0.0,
+                 s_tmax: float = float("inf"), s_noise: float = 1.0,
                  step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
     sig, sig_next = _to_sigma_pairs(sigmas)
+    n = sig.shape[0]
+    use_churn = s_churn > 0 and key is not None
 
     def body(x, inp):
         i, s, sn = inp
+        if use_churn:
+            x, s = _churn(x, s, i, key, n, s_churn, s_tmin, s_tmax, s_noise)
         den = denoised_fn(x, s, i)
         d = (x - den) / s
         x = x + d * (sn - s)
         _notify(step_callback, i, x)
         return x, None
 
-    steps = jnp.arange(sig.shape[0])
+    steps = jnp.arange(n)
     x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))
     return x
 
@@ -77,11 +96,17 @@ def sample_euler_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
 
 def sample_heun(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
                 key: Optional[jax.Array] = None,
+                s_churn: float = 0.0, s_tmin: float = 0.0,
+                s_tmax: float = float("inf"), s_noise: float = 1.0,
                 step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
     sig, sig_next = _to_sigma_pairs(sigmas)
+    n = sig.shape[0]
+    use_churn = s_churn > 0 and key is not None
 
     def body(x, inp):
         i, s, sn = inp
+        if use_churn:
+            x, s = _churn(x, s, i, key, n, s_churn, s_tmin, s_tmax, s_noise)
         den = denoised_fn(x, s, i)
         d = (x - den) / s
         x_euler = x + d * (sn - s)

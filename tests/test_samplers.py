@@ -192,3 +192,21 @@ def test_dpmpp_2s_a_deterministic_converges():
 
     e50, e200 = err(50), err(200)
     assert e200 < e50 and e200 < 0.05, (e50, e200)
+
+
+def test_euler_churn():
+    """s_churn adds noise then renoises consistently: a perfect denoiser
+    still lands on x0; churn changes intermediate trajectories."""
+    x0 = jnp.zeros((1, 4, 8, 8))
+    sig = jnp.asarray(NoiseSchedule().sampling_sigmas(8))
+    noisy = jax.random.normal(jax.random.PRNGKey(1), x0.shape) * sig[0]
+    out = sample_euler(lambda x, s, i: x0, noisy, sig, jax.random.PRNGKey(2),
+                       s_churn=0.5)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-4)
+
+    def lin(x, s, i):
+        return 0.3 * x
+
+    a = sample_euler(lin, noisy, sig, jax.random.PRNGKey(2))
+    b = sample_euler(lin, noisy, sig, jax.random.PRNGKey(2), s_churn=0.5)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-5
