@@ -1,0 +1,102 @@
+"""A/B micro-harness for the TPU perf knobs (ROADMAP item 1).
+
+Runs the panorama step (and optional kernels) under each flag combination
+and prints a small table.  Requires the real TPU.
+
+    python scripts/ab_bench.py            # full pipeline A/B
+    python scripts/ab_bench.py --kernels  # kernel micro-benches only
+"""
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/mdu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def bench_kernels():
+    from mdu_tpu.ops.groupnorm import group_norm
+    from mdu_tpu.ops.pallas import flash_attention, fused_group_norm
+
+    dt = jnp.bfloat16
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 640, 64, 96), dt)
+    w = jnp.ones((640,))
+    b = jnp.zeros((640,))
+
+    def chain(f, x, n=50):
+        def body(c, _):
+            return f(c), None
+
+        g = jax.jit(lambda x: jax.lax.scan(body, x, None, length=n)[0].sum())
+        np.asarray(g(x))
+        t0 = time.time()
+        np.asarray(g(x))
+        return (time.time() - t0) / n * 1e3
+
+    print(f"group_norm XLA   : {chain(lambda c: group_norm(c, 32, w, b).astype(dt), x):.3f} ms")
+    print(f"group_norm pallas: {chain(lambda c: fused_group_norm(c, 32, w, b).astype(dt), x):.3f} ms")
+
+    q = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 6144, 64), dt)
+    for bq, bk in [(256, 512), (512, 512), (512, 1024), (256, 2048)]:
+        def fa(c, bq=bq, bk=bk):
+            return flash_attention(c, q, q, block_q=bq, block_k=bk)
+
+        ms = chain(fa, q, n=10)
+        fl = 4 * 16 * 8 * 6144 * 6144 * 64
+        print(f"flash bq={bq} bk={bk}: {ms:.2f} ms ({fl/ms/1e9:.0f} TFLOP/s)")
+
+
+def bench_pipeline(flags):
+    for k, v in flags.items():
+        os.environ[k] = v
+    # import after flags so dispatch sees them
+    from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig
+    from mdu_tpu.models import (AutoencoderKL, UNet2DCondition, VAEConfig,
+                                random_params, sd15_unet_config)
+    from mdu_tpu.pipeline import DiffusionPipeline
+
+    dt = jnp.bfloat16
+    unet = UNet2DCondition(sd15_unet_config(), dtype=dt)
+    vae = AutoencoderKL(VAEConfig(), dtype=dt)
+    up = jax.tree.map(lambda a: a.astype(dt),
+                      random_params(unet, 0, jnp.zeros((1, 4, 8, 8)),
+                                    jnp.zeros((1,)), jnp.zeros((1, 77, 768))))
+    vp = jax.tree.map(lambda a: a.astype(dt),
+                      random_params(vae, 1, jnp.zeros((1, 3, 64, 64)),
+                                    jax.random.PRNGKey(0)))
+    pipe = DiffusionPipeline(unet, up, vae, vp)
+    cond = {"crossattn": jax.random.normal(jax.random.PRNGKey(2), (1, 77, 768), dt) * 0.1}
+    unc = {"crossattn": jax.random.normal(jax.random.PRNGKey(3), (1, 77, 768), dt) * 0.1}
+    td = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=96, tile_h=96,
+                              overlap=48, tile_bs=8)
+    sp = SamplerConfig(steps=20)
+
+    r = pipe.txt2img(cond, unc, 2048, 512, sp, 0, tiled_diffusion=td, decode=False)
+    np.asarray(r.latents)
+    t0 = time.time()
+    for i in range(1, 4):
+        r = pipe.txt2img(cond, unc, 2048, 512, sp, i, tiled_diffusion=td, decode=False)
+        np.asarray(r.latents)
+    dtm = (time.time() - t0) / 3
+    print(f"flags={flags} -> {dtm:.2f}s/image sampling")
+    return dtm
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernels", action="store_true")
+    args = ap.parse_args()
+    if args.kernels:
+        bench_kernels()
+    else:
+        base = bench_pipeline({"MDU_FUSED_GN": "0", "MDU_FUSED_BLEND": "0"})
+        gn = bench_pipeline({"MDU_FUSED_GN": "1", "MDU_FUSED_BLEND": "0"})
+        both = bench_pipeline({"MDU_FUSED_GN": "1", "MDU_FUSED_BLEND": "1"})
+        print(f"baseline {base:.2f}s | +fused_gn {gn:.2f}s | +fused_blend {both:.2f}s")
