@@ -19,8 +19,7 @@ Differences from the reference's design:
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +28,7 @@ import numpy as np
 from ..models.vae import AutoencoderKL, AttnBlock, ResnetBlock
 from ..models.layers import silu
 from ..ops.groupnorm import apply_group_norm
-from .tiled_vae import (
-    DECODER_PAD,
-    ENCODER_PAD,
-    VAETilePlan,
-    plan_vae_tiles,
-)
+from .tiled_vae import DECODER_PAD, ENCODER_PAD, plan_vae_tiles
 
 # op kinds: ('conv', m) ('silu',) ('store_res', m) ('add_res',)
 #           ('norm', m) — segment boundary; ('attn', m) ('down', m) ('up', m)
