@@ -35,6 +35,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--bf16", action="store_true", help="bfloat16 weights/compute")
     p.add_argument("--lora", action="append", default=[],
                    help="LoRA safetensors to merge, as path[:weight]; repeatable")
+    p.add_argument("--esrgan", help="ESRGAN safetensors: registers upscaler 'ESRGAN'")
     # tiled diffusion knobs (ref tilediffusion.py:127-132 defaults)
     p.add_argument("--method", default="MultiDiffusion",
                    choices=["MultiDiffusion", "Mixture of Diffusers"])
@@ -66,6 +67,11 @@ def _load(args):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     print(f"loading checkpoint from {args.model_dir} ...", file=sys.stderr)
     pipe, conditioner = load_pipeline(args.model_dir, dtype=dtype)
+    if getattr(args, "esrgan", None):
+        from .models.esrgan import register_esrgan_upscaler
+
+        register_esrgan_upscaler("ESRGAN", args.esrgan, dtype=dtype)
+        print(f"registered ESRGAN upscaler from {args.esrgan}", file=sys.stderr)
     for spec in getattr(args, "lora", []):
         from .models.loader import load_safetensors
         from .models.lora import merge_lora

@@ -1,4 +1,5 @@
 from .controlnet import ControlNet
+from .esrgan import RRDBNet, RRDBNetConfig, load_esrgan, register_esrgan_upscaler
 from .init_utils import random_params
 from .loader import (
     convert_params,
@@ -30,6 +31,7 @@ from .vae import AutoencoderKL, Decoder, Encoder, VAEConfig, sample_from_moments
 
 __all__ = [
     "random_params", "ControlNet",
+    "RRDBNet", "RRDBNetConfig", "load_esrgan", "register_esrgan_upscaler",
     "convert_params", "load_pipeline", "load_safetensors",
     "translate_clip_name", "translate_controlnet_name", "translate_unet_name",
     "translate_vae_name",
