@@ -371,7 +371,7 @@ class DiffusionPipeline:
 
     def img2img(
         self,
-        image: np.ndarray,
+        image: Optional[np.ndarray],
         cond: Cond,
         uncond: Optional[Cond],
         sampler: Optional[SamplerConfig] = None,
@@ -382,24 +382,35 @@ class DiffusionPipeline:
         region_unet_params: Optional[Sequence[Any]] = None,
         inversion_cond: Optional[Cond] = None,
         mask: Optional[np.ndarray] = None,
+        init_latents: Optional[jnp.ndarray] = None,
         decode: bool = True,
         step_callback=None,
     ) -> GenerationResult:
         sp = self._resolve_sampler(sampler)
         td = tiled_diffusion
-
-        x_img = image_to_tensor(image) if isinstance(image, np.ndarray) else image
-        if td is not None and td.upscaler and td.upscaler != "None":
-            x_img = get_upscaler(td.upscaler)(x_img, td.scale_factor)
-
-        H, W = x_img.shape[-2], x_img.shape[-1]
-        h, w = H // 8, W // 8
-        x_img = x_img[:, :, :h * 8, :w * 8]
-
-        moments = self._encode(x_img, tiled_vae)
         key = jax.random.PRNGKey(seed)
-        init_latent = sample_from_moments(moments, jax.random.fold_in(key, 3))
-        init_latent = init_latent * self.vae.cfg.scaling_factor
+
+        if init_latents is not None:
+            # latent-space entry (pipeline chaining, e.g. base -> refiner);
+            # noise inversion's renoise mask needs pixels, so it's image-only
+            init_latent = init_latents
+            h, w = init_latent.shape[-2], init_latent.shape[-1]
+            x_img = None
+            if td is not None and td.noise_inverse:
+                raise ValueError("noise_inverse requires an image input "
+                                 "(the renoise mask is pixel-space)")
+        else:
+            x_img = image_to_tensor(image) if isinstance(image, np.ndarray) else image
+            if td is not None and td.upscaler and td.upscaler != "None":
+                x_img = get_upscaler(td.upscaler)(x_img, td.scale_factor)
+
+            H, W = x_img.shape[-2], x_img.shape[-1]
+            h, w = H // 8, W // 8
+            x_img = x_img[:, :, :h * 8, :w * 8]
+
+            moments = self._encode(x_img, tiled_vae)
+            init_latent = sample_from_moments(moments, jax.random.fold_in(key, 3))
+            init_latent = init_latent * self.vae.cfg.scaling_factor
 
         plan = self._plan(td, h, w)
         noise = jax.random.normal(key, init_latent.shape, jnp.float32)

@@ -238,3 +238,23 @@ def test_noise_inverse_regional_reweighting(pipe, rng):
                        tiled_diffusion=td, region_conds=rc, decode=False)
     assert np.isfinite(np.asarray(res.latents)).all()
     pipe.free_cache()
+
+
+def test_img2img_latent_entry(pipe):
+    """Pipeline chaining: img2img straight from latents (base -> refine)."""
+    base = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=1,
+                        tiled_diffusion=TD, decode=False)
+    refined = pipe.img2img(None, _cond(0), _cond(1), sampler=SAMPLER, seed=2,
+                           tiled_diffusion=TD, init_latents=base.latents,
+                           decode=False)
+    assert refined.latents.shape == base.latents.shape
+    assert np.isfinite(np.asarray(refined.latents)).all()
+    # strength < 1 keeps the result anchored near the base
+    import dataclasses as dc
+    weak = pipe.img2img(None, _cond(0), _cond(1),
+                        sampler=dc.replace(SAMPLER, denoising_strength=0.3),
+                        seed=2, tiled_diffusion=TD, init_latents=base.latents,
+                        decode=False)
+    strong_d = np.abs(np.asarray(refined.latents) - np.asarray(base.latents)).mean()
+    weak_d = np.abs(np.asarray(weak.latents) - np.asarray(base.latents)).mean()
+    assert weak_d < strong_d
