@@ -60,7 +60,8 @@ def make_sharded_tile_denoiser(
     # per-tile scatter weight maps: MD = 1/0 contribution masks; MoD =
     # gaussian * global rescale sliced per tile (mixtureofdiffusers.py:125-126)
     if is_mod:
-        rescale = 1.0 / np.maximum(plan.weights, 1e-12)
+        rescale = np.where(plan.weights > 0,
+                           1.0 / np.where(plan.weights > 0, plan.weights, 1.0), 0.0)
         gw = plan.tile_weights
         wmaps = np.stack([
             gw * rescale[0, 0, b.y:b.y + b.h, b.x:b.x + b.w] for b in plan.bboxes])

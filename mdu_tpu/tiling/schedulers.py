@@ -180,7 +180,11 @@ def make_tiled_denoiser(
     """
     is_mod = plan.method == Method.MIX_DIFF
     weights = jnp.asarray(plan.weights)
-    rescale = 1.0 / np.maximum(plan.weights, 1e-12) if is_mod else None
+    # exact reciprocal where painted; 0 where unpainted (the reference
+    # divides by the raw weights, mixtureofdiffusers.py:32 — flooring
+    # would break partition-of-unity at deep gaussian tails)
+    rescale = (np.where(plan.weights > 0, 1.0 / np.where(plan.weights > 0, plan.weights, 1.0), 0.0)
+               if is_mod else None)
 
     # precompute per-tile scatter weights for MoD: gaussian * rescale[bbox]
     per_tile_w: List[Optional[jnp.ndarray]] = []

@@ -210,3 +210,14 @@ def test_euler_churn():
     a = sample_euler(lin, noisy, sig, jax.random.PRNGKey(2))
     b = sample_euler(lin, noisy, sig, jax.random.PRNGKey(2), s_churn=0.5)
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-5
+
+
+def test_ddim_eta_path():
+    """eta > 0 routes DDIM through the ancestral update with a key."""
+    x0 = jnp.zeros((1, 4, 8, 8))
+    sig = jnp.asarray(NoiseSchedule().sampling_sigmas(8))
+    noisy = jax.random.normal(jax.random.PRNGKey(1), x0.shape) * sig[0]
+    det = sample_ddim(lambda x, s, i: x0, noisy, sig)
+    sto = sample_ddim(lambda x, s, i: x0, noisy, sig, jax.random.PRNGKey(2), eta=1.0)
+    np.testing.assert_allclose(np.asarray(det), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sto), 0.0, atol=1e-4)

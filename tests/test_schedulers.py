@@ -105,3 +105,36 @@ def test_progress_units():
     plan = plan_tiled_diffusion(Method.MULTI_DIFF, 96, 96, tile_h=48, tile_w=48,
                                 overlap=16, tile_bs=2, regions=regions)
     assert plan.total_units == plan.num_batches + 1
+
+
+def test_mod_with_background_region_identity(rng):
+    """MoD partition of unity still holds when a BACKGROUND region's gaussian
+    weights fold into the canvas (ref mixtureofdiffusers.py:45-55)."""
+    regions = [RegionSpec(0.25, 0.25, 0.5, 0.5, "mid", blend_mode=BlendMode.BACKGROUND)]
+    plan = plan_tiled_diffusion(Method.MIX_DIFF, 64, 64, tile_h=32, tile_w=32,
+                                overlap=16, tile_bs=2, regions=regions)
+
+    def region_identity(xt, sigma, step, idx):
+        return xt
+
+    fn = make_tiled_denoiser(plan, identity_tile, region_identity)
+    x = jnp.asarray(rng.normal(size=(1, 4, 64, 64)).astype(np.float32))
+    out = jax.jit(fn)(x, jnp.asarray(1.0), jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=3e-5)
+
+
+def test_mod_regions_only_no_background(rng):
+    """draw_background=False: only region areas are painted, rest stays 0
+    (ref mixtureofdiffusers.py:177-179 'leave it as it is')."""
+    regions = [RegionSpec(0.0, 0.0, 0.5, 1.0, "left", blend_mode=BlendMode.BACKGROUND)]
+    plan = plan_tiled_diffusion(Method.MIX_DIFF, 32, 32, tile_h=32, tile_w=32,
+                                overlap=8, tile_bs=1, regions=regions,
+                                draw_background=False)
+    assert not plan.draw_background and len(plan.bboxes) == 0
+
+    fn = make_tiled_denoiser(plan, identity_tile,
+                             lambda xt, s, i, idx: jnp.ones_like(xt) * 5.0)
+    x = jnp.zeros((1, 4, 32, 32))
+    out = np.asarray(jax.jit(fn)(x, jnp.asarray(1.0), jnp.asarray(0)))
+    np.testing.assert_allclose(out[:, :, :, :16], 5.0, atol=1e-5)
+    np.testing.assert_allclose(out[:, :, :, 16:], 0.0, atol=1e-6)
