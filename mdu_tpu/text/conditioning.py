@@ -32,7 +32,10 @@ class TextConditioner:
         self.tokenizer = tokenizer or HashTokenizer(model.cfg.vocab_size,
                                                     model.cfg.max_length)
         self.chunk = min(chunk_size, model.cfg.max_length - 2)
-        self._embed = jax.jit(lambda ids: model.apply(params, ids))
+        # params as a jit argument, not a closure (CLAUDE.md: closed-over
+        # weights become HLO constants and stall the remote TPU compiler)
+        jitted = jax.jit(model.apply)
+        self._embed = lambda ids: jitted(self.params, ids)
 
     # ------------------------------------------------------------- encoding
 

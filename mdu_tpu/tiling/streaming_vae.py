@@ -147,10 +147,13 @@ def _make_segment_fn(vae: AutoencoderKL, params: Any, which: str,
         out_stats = _masked_stats(x, base_mask, groups) if want_stats else None
         return x, res, out_stats
 
-    def run(x, res, base_mask, stats):
-        return vae.apply(params, x, res, base_mask, stats, method=method)
+    def run(p, x, res, base_mask, stats):
+        # params travel as a jit argument — closing over them would embed
+        # the weight tree as HLO constants (see CLAUDE.md)
+        return vae.apply(p, x, res, base_mask, stats, method=method)
 
-    return jax.jit(run)
+    jitted = jax.jit(run)
+    return lambda x, res, base_mask, stats: jitted(params, x, res, base_mask, stats)
 
 
 def _pool(parts, B):
