@@ -104,14 +104,17 @@ class DiffusionPipeline:
 
     # ------------------------------------------------------------- model fns
 
-    def _model_fn(self, params=None):
-        """Raw model fn. ``params`` may be a jit argument — closing over the
-        full weight tree would bake it into the HLO as constants (fatal for
-        SD-scale models on the remote-compile TPU path)."""
+    def _model_fn(self, params=None, controlnet_params=None):
+        """Raw model fn. ``params``/``controlnet_params`` may be jit
+        arguments — closing over weight trees would bake them into the HLO
+        as constants (fatal for SD-scale models on the remote-compile TPU
+        path)."""
         unet = self.unet
         params = self.unet_params if params is None else params
         is_xl = unet.cfg.addition_embed_type == "text_time"
-        controlnet, cn_params = self.controlnet, self.controlnet_params
+        controlnet = self.controlnet
+        cn_params = (self.controlnet_params if controlnet_params is None
+                     else controlnet_params)
 
         def fn(x, t, cond: Cond):
             xin = x
@@ -179,8 +182,10 @@ class DiffusionPipeline:
         latent_hw: Optional[Tuple[int, int]] = None,
         unet_params=None,
         region_unet_params: Optional[Sequence[Any]] = None,
+        controlnet_params=None,
     ):
-        den = denoised_from_model(self._model_fn(unet_params), self.schedule)
+        den = denoised_from_model(
+            self._model_fn(unet_params, controlnet_params), self.schedule)
         cond_f = self._as_cond_fn(cond)
         uncond_f = self._as_cond_fn(uncond)
         region_fs = [(self._as_cond_fn(rc), self._as_cond_fn(ru))
@@ -332,11 +337,12 @@ class DiffusionPipeline:
         skey = jax.random.fold_in(key, 7)
 
         def builder():
-            def run(uparams, rparams, c, u, rc, sigmas, x, skey):
+            def run(uparams, rparams, cnparams, c, u, rc, sigmas, x, skey):
                 den_fn = self._make_denoised_fn(plan, c, u, sp.cfg_scale,
                                                 rc, latent_hw=(h, w),
                                                 unet_params=uparams,
-                                                region_unet_params=rparams)
+                                                region_unet_params=rparams,
+                                                controlnet_params=cnparams)
                 kw = {"step_callback": step_callback}
                 if sp.s_churn > 0 and sp.name in ("Euler", "Heun"):
                     kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
@@ -354,15 +360,15 @@ class DiffusionPipeline:
                     sp.cfg_scale, sp.s_churn, uncond is None, len(region_conds),
                     id(step_callback) if step_callback else None)
             runner = self._cached_jit(jkey, builder)
-            latents = runner(self.unet_params, rparams, cond, uncond,
-                             tuple(region_conds), sigmas, x, skey)
+            latents = runner(self.unet_params, rparams, self.controlnet_params,
+                             cond, uncond, tuple(region_conds), sigmas, x, skey)
         else:
             # legacy callable conds cannot cross the jit boundary: bake them in
             run = builder()
             latents = jax.jit(
-                lambda up, rp, sg, xx, sk: run(up, rp, cond, uncond,
-                                               tuple(region_conds), sg, xx, sk)
-            )(self.unet_params, rparams, sigmas, x, skey)
+                lambda up, rp, cp, sg, xx, sk: run(up, rp, cp, cond, uncond,
+                                                   tuple(region_conds), sg, xx, sk)
+            )(self.unet_params, rparams, self.controlnet_params, sigmas, x, skey)
         images = self._decode(latents, tiled_vae) if decode else None
         info = self._info(sp, tiled_diffusion, seed, region_seeds)
         return GenerationResult(images, latents, seed, info)
@@ -445,11 +451,12 @@ class DiffusionPipeline:
             latent_mask = resize_nchw(m, (h, w), "linear")
 
         def builder():
-            def run(uparams, rparams, c, u, rc, sigmas, x, skey, init_mask):
+            def run(uparams, rparams, cnparams, c, u, rc, sigmas, x, skey, init_mask):
                 den_fn = self._make_denoised_fn(plan, c, u, sp.cfg_scale,
                                                 rc, latent_hw=(h, w),
                                                 unet_params=uparams,
-                                                region_unet_params=rparams)
+                                                region_unet_params=rparams,
+                                                controlnet_params=cnparams)
                 if init_mask is not None:
                     init_lat, lm = init_mask
                     inner = den_fn
@@ -475,16 +482,16 @@ class DiffusionPipeline:
                     latent_mask is not None,
                     id(step_callback) if step_callback else None)
             runner = self._cached_jit(jkey, builder)
-            latents = runner(self.unet_params, rparams, cond, uncond,
-                             tuple(region_conds), sigmas, x, skey,
+            latents = runner(self.unet_params, rparams, self.controlnet_params,
+                             cond, uncond, tuple(region_conds), sigmas, x, skey,
                              None if latent_mask is None else (init_latent, latent_mask))
         else:
             # legacy callable conds cannot cross the jit boundary: bake them in
             run = builder()
             latents = jax.jit(
-                lambda up, rp, sg, xx, sk, im: run(up, rp, cond, uncond,
-                                                   tuple(region_conds), sg, xx, sk, im)
-            )(self.unet_params, rparams, sigmas, x, skey,
+                lambda up, rp, cp, sg, xx, sk, im: run(up, rp, cp, cond, uncond,
+                                                       tuple(region_conds), sg, xx, sk, im)
+            )(self.unet_params, rparams, self.controlnet_params, sigmas, x, skey,
               None if latent_mask is None else (init_latent, latent_mask))
         images = self._decode(latents, tiled_vae) if decode else None
         info = self._info(sp, td, seed, region_seeds)
