@@ -56,8 +56,15 @@ def split_grid(w: int, h: int, tile_w: int, tile_h: int, overlap: int = 16) -> L
     bboxes: List[BBox] = []
     for row in range(rows):
         y = min(int(row * dy), h - tile_h)
+        if row == rows - 1:
+            # pin the last row to the canvas edge: float truncation of
+            # (h-th)/(rows-1)*(rows-1) can land 1px short, leaving the final
+            # pixel row unpainted (latent robustness fix over ref utils.py:169)
+            y = h - tile_h
         for col in range(cols):
             x = min(int(col * dx), w - tile_w)
+            if col == cols - 1:
+                x = w - tile_w
             bboxes.append(BBox(x, y, tile_w, tile_h))
     return bboxes
 

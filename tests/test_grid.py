@@ -9,16 +9,21 @@ from mdu_tpu.utils import BBox, batch_bboxes, paint_count, split_grid, splitable
 
 
 def reference_split(w, h, tile_w, tile_h, overlap):
-    """Direct transcription of the reference's placement formulas for parity."""
+    """Direct transcription of the reference's placement formulas for parity.
+
+    One deliberate deviation: the last row/col is pinned to the canvas edge
+    (the reference's ``int(row*dy)`` can land 1px short under float
+    truncation, leaving the final pixel row unpainted — see
+    utils/grid.py::split_grid)."""
     cols = math.ceil((w - overlap) / (tile_w - overlap))
     rows = math.ceil((h - overlap) / (tile_h - overlap))
     dx = (w - tile_w) / (cols - 1) if cols > 1 else 0
     dy = (h - tile_h) / (rows - 1) if rows > 1 else 0
     out = []
     for row in range(rows):
-        y = min(int(row * dy), h - tile_h)
+        y = (h - tile_h) if row == rows - 1 else min(int(row * dy), h - tile_h)
         for col in range(cols):
-            x = min(int(col * dx), w - tile_w)
+            x = (w - tile_w) if col == cols - 1 else min(int(col * dx), w - tile_w)
             out.append((x, y, tile_w, tile_h))
     return out
 
