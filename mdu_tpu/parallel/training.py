@@ -78,7 +78,10 @@ def make_train_step(
         x_t = jnp.sqrt(a) * lat + jnp.sqrt(1 - a) * noise
         pred = apply_fn(params, x_t, t.astype(jnp.float32),
                         batch["context"], batch.get("added_cond"))
-        target = noise  # epsilon objective
+        if schedule.prediction_type == "v_prediction":
+            target = jnp.sqrt(a) * noise - jnp.sqrt(1 - a) * lat
+        else:
+            target = noise                     # epsilon objective
         return jnp.mean((pred - target) ** 2)
 
     def train_step(params, opt_state, batch, key):

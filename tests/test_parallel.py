@@ -174,3 +174,25 @@ def test_sharded_fusion_deterministic(rng):
     a = np.asarray(f(x, jnp.asarray(0.3), jnp.asarray(0)))
     b = np.asarray(f(x, jnp.asarray(0.3), jnp.asarray(0)))
     np.testing.assert_array_equal(a, b)
+
+
+def test_train_step_v_prediction(rng):
+    import dataclasses
+
+    from mdu_tpu.models import UNet2DCondition, random_params, tiny_unet_config
+    from mdu_tpu.samplers import NoiseSchedule
+
+    cfg = tiny_unet_config()
+    unet = UNet2DCondition(cfg)
+    mesh = make_train_mesh(dp=2, tp=1)
+    sch = dataclasses.replace(NoiseSchedule(), prediction_type="v_prediction")
+    lat = jnp.asarray(rng.normal(size=(2, 4, 16, 16)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(2, 7, cfg.cross_attention_dim)).astype(np.float32))
+    params = random_params(unet, 0, lat[:1], jnp.zeros((1,)), ctx[:1])
+    init_state, jitted = make_train_step(unet, mesh, schedule=sch)
+    with mesh:
+        params, opt_state, p_shard = init_state(params)
+        step = jitted(p_shard)
+        _, _, loss = step(params, opt_state, {"latents": lat, "context": ctx},
+                          jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
