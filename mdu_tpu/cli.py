@@ -136,6 +136,14 @@ def _region_conds(conditioner, regions, args, steps):
     return out
 
 
+def _with_prompt(args, info: dict) -> dict:
+    """A1111 infotext leads with the prompt pair; the pipeline only sees
+    cond pytrees, so the CLI (which owns the strings) prepends them."""
+    out = {"Prompt": args.prompt, "Negative prompt": args.negative}
+    out.update(info)
+    return out
+
+
 def _save(images: np.ndarray, path: str, info: dict):
     from PIL import Image, PngImagePlugin
 
@@ -158,7 +166,7 @@ def cmd_txt2img(args):
     with perfcount("Tiled Diffusion"):
         res = pipe.txt2img(cond, uncond, args.width, args.height, sp, seed,
                            tiled_diffusion=td, tiled_vae=tv, region_conds=rc)
-    _save(res.images, args.out, res.info)
+    _save(res.images, args.out, _with_prompt(args, res.info))
 
 
 def cmd_img2img(args):
@@ -175,7 +183,7 @@ def cmd_img2img(args):
     with perfcount("Tiled Diffusion"):
         res = pipe.img2img(img, cond, uncond, sp, seed, tiled_diffusion=td,
                            tiled_vae=tv, region_conds=rc)
-    _save(res.images, args.out, res.info)
+    _save(res.images, args.out, _with_prompt(args, res.info))
 
 
 def cmd_demofusion(args):
@@ -208,7 +216,8 @@ def cmd_demofusion(args):
         res = pipe.demofusion(cond, uncond, args.width, args.height, cfg, sp,
                               seed, init_latent=init_latent, tiled_vae=tv)
     for i, imgs in enumerate(res.images):
-        _save(imgs, args.out.replace(".png", f"_scale{i+1}.png"), res.info)
+        _save(imgs, args.out.replace(".png", f"_scale{i+1}.png"),
+              _with_prompt(args, res.info))
 
 
 def cmd_info(args):
@@ -295,7 +304,10 @@ def main(argv: Optional[List[str]] = None):
     v.set_defaults(fn=cmd_vae_roundtrip)
 
     args = ap.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except BrokenPipeError:        # e.g. `mdu_tpu info x.png | head`
+        sys.exit(0)
 
 
 if __name__ == "__main__":

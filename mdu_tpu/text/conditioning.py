@@ -16,8 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.clip import CLIPTextModel
-from .prompt import (extract_networks, parse_prompt_attention,
-                     parse_prompt_schedule, split_composable)
+from .prompt import (extract_networks, has_alternation, parse_prompt_attention,
+                     parse_prompt_schedule, prompt_at_step_with_alternation,
+                     split_composable)
 from .tokenizer import CLIPTokenizer, HashTokenizer
 
 Cond = Dict[str, Any]
@@ -115,6 +116,14 @@ class TextConditioner:
             # branch is not supported; the reference's combination is rare)
             return {"__and__": [self.cond(p.text, None, extra) for p in parts],
                     "__weights__": tuple(p.weight for p in parts)}
+        if steps is not None and has_alternation(prompt):
+            # alternating words [a|b]: one cond per step pattern, deduped
+            per_step = [prompt_at_step_with_alternation(prompt, i, steps)
+                        for i in range(steps)]
+            uniq = list(dict.fromkeys(per_step))
+            bank, pooled = self.encode(uniq)
+            idx = jnp.asarray([uniq.index(p) for p in per_step], jnp.int32)
+            return {"__bank__": {"crossattn": bank}, "__index__": idx, **extra}
         if steps is not None:
             sched = parse_prompt_schedule(prompt, steps)
             if len(sched) > 1:

@@ -137,6 +137,28 @@ def _prompt_at_step(text: str, step: int, steps: int) -> str:
     return text
 
 
+_ALT_RE = re.compile(r"\[([^\[\]:]+\|[^\[\]:]+)\]")
+
+
+def has_alternation(text: str) -> bool:
+    return _ALT_RE.search(text) is not None
+
+
+def prompt_at_step_with_alternation(text: str, step: int, steps: int) -> str:
+    """Resolve `[a|b|c]` alternating-words syntax (A1111: option step % n)
+    plus the regular [from:to:N] scheduling for one step."""
+
+    def repl(m: re.Match) -> str:
+        options = m.group(1).split("|")
+        return options[step % len(options)]
+
+    prev = None
+    while prev != text:
+        prev = text
+        text = _ALT_RE.sub(repl, text)
+    return _prompt_at_step(text, step, steps)
+
+
 @dataclass(frozen=True)
 class ComposablePrompt:
     text: str

@@ -180,3 +180,24 @@ def test_extract_networks():
     assert nets == [("lora", "catstyle", 0.8), ("hypernet", "h1", 1.0)]
     clean2, nets2 = extract_networks("no tags here")
     assert clean2 == "no tags here" and nets2 == []
+
+
+def test_alternating_words():
+    from mdu_tpu.text.prompt import has_alternation, prompt_at_step_with_alternation
+
+    assert has_alternation("a [cat|dog] photo")
+    assert not has_alternation("a [cat:dog:5] photo")
+    assert prompt_at_step_with_alternation("a [cat|dog] photo", 0, 10) == "a cat photo"
+    assert prompt_at_step_with_alternation("a [cat|dog] photo", 1, 10) == "a dog photo"
+    assert prompt_at_step_with_alternation("[x|y|z]", 5, 10) == "z"
+
+
+def test_alternating_cond_bank():
+    cfg = tiny_clip_config()
+    model = CLIPTextModel(cfg)
+    params = random_params(model, 0, jnp.zeros((1, cfg.max_length), jnp.int32))
+    tc = TextConditioner(model, params)
+    c = tc.cond("a [cat|dog] photo", steps=4)
+    assert "__bank__" in c
+    assert c["__bank__"]["crossattn"].shape[0] == 2   # two unique prompts
+    np.testing.assert_array_equal(np.asarray(c["__index__"]), [0, 1, 0, 1])
