@@ -35,6 +35,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--bf16", action="store_true", help="bfloat16 weights/compute")
     p.add_argument("--lora", action="append", default=[],
                    help="LoRA safetensors to merge, as path[:weight]; repeatable")
+    p.add_argument("--lora-dir",
+                   help="directory resolving <lora:name:w> prompt tags "
+                        "(default: <model-dir>/loras)")
     p.add_argument("--esrgan", help="ESRGAN safetensors: registers upscaler 'ESRGAN'")
     # tiled diffusion knobs (ref tilediffusion.py:127-132 defaults)
     p.add_argument("--method", default="MultiDiffusion",
@@ -136,6 +139,44 @@ def _region_conds(conditioner, regions, args, steps):
     return out
 
 
+def _apply_prompt_networks(pipe, args, regions=()):
+    """Merge `<lora:name:weight>` extra-network tags found in the prompts
+    (A1111 syntax; the reference consumes them via extra_networks — ref
+    tile_utils/utils.py:123-131) into the UNet weights.  Names resolve to
+    ``<lora-dir>/<name>.safetensors``; unknown names warn and are skipped."""
+    import os
+
+    from .text.prompt import extract_networks
+
+    seen = {}
+    texts = [args.prompt, args.negative]
+    for r in regions:
+        texts += [r.prompt, r.neg_prompt]
+    for text in texts:
+        _, nets = extract_networks(text or "")
+        for kind, name, weight in nets:
+            seen[(kind, name)] = weight
+    if not seen:
+        return
+    from .models.loader import load_safetensors
+    from .models.lora import merge_lora
+
+    lora_dir = getattr(args, "lora_dir", None) or os.path.join(args.model_dir, "loras")
+    for (kind, name), weight in seen.items():
+        if kind != "lora":
+            print(f"warning: <{kind}:{name}> networks are not supported; skipped",
+                  file=sys.stderr)
+            continue
+        path = os.path.join(lora_dir, f"{name}.safetensors")
+        if not os.path.exists(path):
+            print(f"warning: LoRA {name!r} not found at {path}; skipped",
+                  file=sys.stderr)
+            continue
+        print(f"merging <lora:{name}:{weight}> from {path}", file=sys.stderr)
+        pipe.unet_params = merge_lora(pipe.unet_params, load_safetensors(path),
+                                      scale=weight)
+
+
 def _with_prompt(args, info: dict) -> dict:
     """A1111 infotext leads with the prompt pair; the pipeline only sees
     cond pytrees, so the CLI (which owns the strings) prepends them."""
@@ -162,6 +203,7 @@ def cmd_txt2img(args):
     td, tv, sp, regions = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
     rc = _region_conds(conditioner, regions, args, sp.steps)
+    _apply_prompt_networks(pipe, args, regions)
     seed = _seed(args)
     with perfcount("Tiled Diffusion"):
         res = pipe.txt2img(cond, uncond, args.width, args.height, sp, seed,
@@ -178,6 +220,7 @@ def cmd_img2img(args):
     td, tv, sp, regions = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
     rc = _region_conds(conditioner, regions, args, sp.steps)
+    _apply_prompt_networks(pipe, args, regions)
     img = np.asarray(Image.open(args.init).convert("RGB"))
     seed = _seed(args)
     with perfcount("Tiled Diffusion"):
@@ -193,6 +236,7 @@ def cmd_demofusion(args):
     pipe, conditioner = _load(args)
     _, tv, sp, _ = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
+    _apply_prompt_networks(pipe, args)
     init_latent = None
     if args.init:
         import jax
