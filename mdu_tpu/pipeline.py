@@ -159,7 +159,10 @@ class DiffusionPipeline:
         if callable(c):
             return c
         if isinstance(c, dict) and "__and__" in c:
-            return lambda step, _c=c: _c
+            # resolve each AND branch per step (branches may be scheduled banks)
+            fns = [DiffusionPipeline._as_cond_fn(p) for p in c["__and__"]]
+            return lambda step, _w=c["__weights__"]: {
+                "__and__": [f(step) for f in fns], "__weights__": _w}
         if isinstance(c, dict) and "__bank__" in c:
             bank, idx = c["__bank__"], c["__index__"]
             extra = {k: v for k, v in c.items() if k not in ("__bank__", "__index__")}

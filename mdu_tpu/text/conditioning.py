@@ -112,9 +112,12 @@ class TextConditioner:
         self.last_networks = networks      # (kind, name, weight) for the caller
         parts = split_composable(prompt)
         if len(parts) > 1:
-            # AND branches are encoded unscheduled (scheduling inside an AND
-            # branch is not supported; the reference's combination is rare)
-            return {"__and__": [self.cond(p.text, None, extra) for p in parts],
+            # each AND branch is encoded independently (and may itself be a
+            # scheduled bank); the pipeline resolves branches per step.
+            # Branches must produce the same chunk count (they are encoded
+            # separately, so a 90-token branch next to a 10-token one fails
+            # at trace time — pad with BREAK if needed).
+            return {"__and__": [self.cond(p.text, steps, extra) for p in parts],
                     "__weights__": tuple(p.weight for p in parts)}
         if steps is not None and has_alternation(prompt):
             # alternating words [a|b]: one cond per step pattern, deduped
@@ -138,6 +141,9 @@ class TextConditioner:
                 # inside jit, so the whole cond stays a jit argument (cacheable)
                 return {"__bank__": {"crossattn": bank},
                         "__index__": jnp.asarray(idx), **extra}
+            # single-entry schedule (e.g. [a:b:N] with N >= steps): encode the
+            # *resolved* text, not the raw bracketed prompt
+            prompt = sched[0][1]
         z, pooled = self.encode([prompt])
         return {"crossattn": z, **extra}
 

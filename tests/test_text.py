@@ -201,3 +201,36 @@ def test_alternating_cond_bank():
     assert "__bank__" in c
     assert c["__bank__"]["crossattn"].shape[0] == 2   # two unique prompts
     np.testing.assert_array_equal(np.asarray(c["__index__"]), [0, 1, 0, 1])
+
+
+def test_scheduled_bank_inside_and():
+    cfg = tiny_clip_config()
+    model = CLIPTextModel(cfg)
+    params = random_params(model, 0, jnp.zeros((1, cfg.max_length), jnp.int32))
+    tc = TextConditioner(model, params)
+    c = tc.cond("a [cat:dog:2] photo AND a photo", steps=4)
+    assert "__and__" in c and len(c["__and__"]) == 2
+    assert "__bank__" in c["__and__"][0]          # scheduled branch is a bank
+    assert "crossattn" in c["__and__"][1]         # static branch stays plain
+
+    from mdu_tpu.pipeline import DiffusionPipeline
+    fn = DiffusionPipeline._as_cond_fn(c)
+    early, late = fn(0), fn(3)
+    assert not np.allclose(np.asarray(early["__and__"][0]["crossattn"]),
+                           np.asarray(late["__and__"][0]["crossattn"]))
+    np.testing.assert_array_equal(np.asarray(early["__and__"][1]["crossattn"]),
+                                  np.asarray(late["__and__"][1]["crossattn"]))
+
+
+def test_single_entry_schedule_encodes_resolved_text():
+    """[a:b:N] with N >= steps never switches -> must encode exactly like the
+    resolved prompt, not the raw bracketed text (regression: the raw text
+    leaked through the len(sched)==1 fallthrough)."""
+    cfg = tiny_clip_config()
+    model = CLIPTextModel(cfg)
+    params = random_params(model, 0, jnp.zeros((1, cfg.max_length), jnp.int32))
+    tc = TextConditioner(model, params)
+    c_sched = tc.cond("a [cat:dog:8] photo", steps=4)
+    c_plain = tc.cond("a cat photo", steps=4)
+    np.testing.assert_array_equal(np.asarray(c_sched["crossattn"]),
+                                  np.asarray(c_plain["crossattn"]))
