@@ -177,11 +177,67 @@ def _apply_prompt_networks(pipe, args, regions=()):
                                       scale=weight)
 
 
+_INTERRUPT = {"pipe": None}
+
+
+def _install_sigint_watcher():
+    """Graceful Ctrl-C for one-shot CLI runs (the reference UI's Interrupt
+    button): the first SIGINT sets the registered pipeline's cooperative
+    flag — the per-step io_callback then skips the remaining UNet work and
+    the partial result is decoded and saved; a second SIGINT aborts hard.
+
+    A plain Python signal handler cannot work here: the whole sampling loop
+    is one jitted call, so the main thread sits in native code until it
+    finishes and CPython defers handlers until then.  Worse, XLA's worker
+    threads would receive the signal if it stayed unblocked anywhere.  So
+    SIGINT is blocked process-wide *before jax ever loads* (every later
+    thread inherits the mask) and a dedicated watcher thread dequeues it
+    with sigtimedwait, which needs no interpreter loop."""
+    import os
+    import signal
+    import threading
+
+    if not hasattr(signal, "sigtimedwait"):   # non-Linux fallback
+        def handler(sig, frame):
+            pipe = _INTERRUPT["pipe"]
+            if pipe is None or pipe.interrupted:
+                raise KeyboardInterrupt
+            pipe.interrupted = True
+        signal.signal(signal.SIGINT, handler)
+        return
+
+    signal.pthread_sigmask(signal.SIG_BLOCK, {signal.SIGINT})
+
+    def watch():
+        hits = 0
+        while True:
+            si = signal.sigtimedwait({signal.SIGINT}, 0.2)
+            if si is None:
+                continue
+            pipe = _INTERRUPT["pipe"]
+            hits += 1
+            if hits == 1 and pipe is not None:
+                pipe.interrupted = True
+                print("interrupt: skipping remaining steps, saving partial "
+                      "result (Ctrl-C again to abort)", file=sys.stderr)
+            else:
+                os._exit(130)
+
+    threading.Thread(target=watch, daemon=True, name="sigint-watcher").start()
+
+
+def _graceful_interrupt(pipe):
+    """Register the pipeline the SIGINT watcher should flag."""
+    _INTERRUPT["pipe"] = pipe
+
+
 def _with_prompt(args, info: dict) -> dict:
     """A1111 infotext leads with the prompt pair; the pipeline only sees
     cond pytrees, so the CLI (which owns the strings) prepends them."""
     out = {"Prompt": args.prompt, "Negative prompt": args.negative}
     out.update(info)
+    if getattr(args, "_pipe", None) is not None and args._pipe.interrupted:
+        out["Interrupted"] = True
     return out
 
 
@@ -203,6 +259,8 @@ def cmd_txt2img(args):
     td, tv, sp, regions = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
     rc = _region_conds(conditioner, regions, args, sp.steps)
+    args._pipe = pipe
+    _graceful_interrupt(pipe)
     _apply_prompt_networks(pipe, args, regions)
     seed = _seed(args)
     with perfcount("Tiled Diffusion"):
@@ -220,6 +278,8 @@ def cmd_img2img(args):
     td, tv, sp, regions = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
     rc = _region_conds(conditioner, regions, args, sp.steps)
+    args._pipe = pipe
+    _graceful_interrupt(pipe)
     _apply_prompt_networks(pipe, args, regions)
     img = np.asarray(Image.open(args.init).convert("RGB"))
     seed = _seed(args)
@@ -236,6 +296,8 @@ def cmd_demofusion(args):
     pipe, conditioner = _load(args)
     _, tv, sp, _ = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
+    args._pipe = pipe
+    _graceful_interrupt(pipe)
     _apply_prompt_networks(pipe, args)
     init_latent = None
     if args.init:
@@ -348,6 +410,7 @@ def main(argv: Optional[List[str]] = None):
     v.set_defaults(fn=cmd_vae_roundtrip)
 
     args = ap.parse_args(argv)
+    _install_sigint_watcher()      # must run before jax spawns threads
     try:
         args.fn(args)
     except BrokenPipeError:        # e.g. `mdu_tpu info x.png | head`

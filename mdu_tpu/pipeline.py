@@ -256,7 +256,7 @@ class DiffusionPipeline:
                 u = uncond_f(step) if uncond_f is not None else None
                 return guided(x, sigma, cond_f(step), u)
 
-            return denoised_fn
+            return self._interruptible(denoised_fn)
 
         hw = (plan.h, plan.w)
 
@@ -275,8 +275,30 @@ class DiffusionPipeline:
             u = uncond_f(step) if uncond_f is not None else None
             return guided(x, sigma, cond_f(step), u)
 
-        return make_tiled_denoiser(plan, tile_denoise,
-                                   region_denoise if plan.regions else None, org_fn)
+        return self._interruptible(make_tiled_denoiser(
+            plan, tile_denoise,
+            region_denoise if plan.regions else None, org_fn))
+
+    def _interruptible(self, fn):
+        """Per-step cooperative interruption *inside* jit: an io_callback
+        reads the host flag each sampler step and a lax.cond skips the whole
+        denoise (x passes through unchanged), so an interrupted run stops
+        paying UNet FLOPs immediately (ref checks shared.state.interrupted
+        before every UNet call).  Callers clear ``pipe.interrupted``
+        themselves before reusing the pipeline."""
+        from jax.experimental import io_callback
+
+        def _read_flag():
+            return np.bool_(self.interrupted)
+
+        def wrapped(x, sigma, step):
+            flag = io_callback(_read_flag, jax.ShapeDtypeStruct((), jnp.bool_))
+            return jax.lax.cond(flag,
+                                lambda op: op[0],
+                                lambda op: fn(*op),
+                                (x, sigma, step))
+
+        return wrapped
 
     def _cached_jit(self, key, builder):
         fn = self._jit_cache.get(key)

@@ -258,3 +258,26 @@ def test_img2img_latent_entry(pipe):
     strong_d = np.abs(np.asarray(refined.latents) - np.asarray(base.latents)).mean()
     weak_d = np.abs(np.asarray(weak.latents) - np.asarray(base.latents)).mean()
     assert weak_d < strong_d
+
+
+def test_interruption_skips_model(pipe):
+    """With pipe.interrupted set, the per-step io_callback + lax.cond skip
+    the UNet entirely: two runs with different conds produce identical
+    latents (the model is never consulted), and clearing the flag restores
+    normal cond-dependent generation."""
+    pipe.interrupted = True
+    try:
+        a = pipe.txt2img(_cond(1), _cond(2), 128, 128, SAMPLER, seed=3,
+                         tiled_diffusion=TD, decode=False)
+        b = pipe.txt2img(_cond(4), _cond(5), 128, 128, SAMPLER, seed=3,
+                         tiled_diffusion=TD, decode=False)
+        np.testing.assert_array_equal(np.asarray(a.latents), np.asarray(b.latents))
+        assert np.isfinite(np.asarray(a.latents)).all()
+    finally:
+        pipe.interrupted = False
+    c = pipe.txt2img(_cond(1), _cond(2), 128, 128, SAMPLER, seed=3,
+                     tiled_diffusion=TD, decode=False)
+    d = pipe.txt2img(_cond(4), _cond(5), 128, 128, SAMPLER, seed=3,
+                     tiled_diffusion=TD, decode=False)
+    assert not np.allclose(np.asarray(c.latents), np.asarray(d.latents))
+    assert not np.allclose(np.asarray(a.latents), np.asarray(c.latents))
