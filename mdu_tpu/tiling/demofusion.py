@@ -248,7 +248,9 @@ def demofusion_generate(
 
         def run(uparams, x, lat0, noise):
             guided = _make_view_guided(pipe, cond, uncond, sp.cfg_scale, uparams)
-            den_fn = make_demofusion_denoiser(plan, cfg, guided, lat0, noise, t_enc)
+            # per-step cooperative interruption, same as the tiled pipeline
+            den_fn = pipe._interruptible(
+                make_demofusion_denoiser(plan, cfg, guided, lat0, noise, t_enc))
             if sp.name in STOCHASTIC_SAMPLERS:
                 return sampler_fn(den_fn, x, sigmas, jax.random.fold_in(pkey, 1))
             return sampler_fn(den_fn, x, sigmas)
