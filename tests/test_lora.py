@@ -118,3 +118,42 @@ def test_controlnet_through_pipeline():
                          tiled_diffusion=td, decode=False)
     # the hint must influence the result
     assert np.abs(np.asarray(res.latents) - np.asarray(res2.latents)).max() > 1e-5
+
+
+def test_cli_prompt_network_tags(tmp_path, capsys):
+    """<lora:name:w> tags resolve from lora-dir and merge; unknown names and
+    non-lora kinds warn and are skipped (CLI surface glue for
+    text/prompt.extract_networks)."""
+    import argparse
+    import sys
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from mdu_tpu.cli import _apply_prompt_networks
+
+    rng = np.random.default_rng(0)
+    down, up = rng.normal(size=(2, 8)).astype(np.float32), \
+        rng.normal(size=(8, 2)).astype(np.float32)
+    (tmp_path / "loras").mkdir()
+    save_file({"lora_unet_conv_in.lora_down.weight": down,
+               "lora_unet_conv_in.lora_up.weight": up},
+              str(tmp_path / "loras" / "style.safetensors"))
+
+    class Pipe:
+        unet_params = {"params": {"conv_in": {
+            "weight": jnp.zeros((8, 8)), "bias": jnp.zeros((8,))}}}
+
+    pipe = Pipe()
+    args = argparse.Namespace(
+        prompt="a cat <lora:style:0.5> <lora:nope:1> <hypernet:h:1>",
+        negative="", model_dir=str(tmp_path), lora_dir=None)
+    _apply_prompt_networks(pipe, args)
+    err = capsys.readouterr().err
+    assert "merging <lora:style:0.5>" in err
+    assert "LoRA 'nope' not found" in err
+    assert "<hypernet:h> networks are not supported" in err
+    expect = 0.5 * (up @ down)
+    np.testing.assert_allclose(
+        np.asarray(pipe.unet_params["params"]["conv_in"]["weight"]),
+        expect, atol=1e-6)
