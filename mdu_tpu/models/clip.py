@@ -31,6 +31,9 @@ class CLIPTextConfig:
     hidden_act: str = "quick_gelu"      # quick_gelu (CLIP-L) | gelu (OpenCLIP)
     projection_dim: Optional[int] = None  # OpenCLIP text_projection (SDXL enc 2)
     clip_skip: int = 1                  # 1 = final layer, 2 = penultimate, ...
+    # A1111 clip-skip LayerNorms the earlier layer's states (SD1/SD2); SDXL's
+    # sgm/diffusers conditioners take hidden_states[-2] RAW — no final LN
+    ln_penultimate: bool = True
 
 
 def clip_l_config() -> CLIPTextConfig:
@@ -44,7 +47,8 @@ def open_clip_h_config() -> CLIPTextConfig:
 
 def open_clip_bigg_config() -> CLIPTextConfig:
     return CLIPTextConfig(hidden_size=1280, num_layers=32, num_heads=20,
-                          hidden_act="gelu", projection_dim=1280, clip_skip=2)
+                          hidden_act="gelu", projection_dim=1280, clip_skip=2,
+                          ln_penultimate=False)
 
 
 def tiny_clip_config() -> CLIPTextConfig:
@@ -113,8 +117,12 @@ class CLIPTextModel(nn.Module):
                 hidden = x
         ln_final = LayerNorm(dtype=self.dtype, name="ln_final")
         final = ln_final(x)
-        # A1111 'CLIP skip' applies the final LayerNorm to the earlier layer
-        out_hidden = ln_final(hidden) if c.clip_skip > 1 else final
+        # A1111 'CLIP skip' applies the final LayerNorm to the earlier layer;
+        # SDXL conditioners (ln_penultimate=False) use the raw states
+        if c.clip_skip > 1:
+            out_hidden = ln_final(hidden) if c.ln_penultimate else hidden
+        else:
+            out_hidden = final
 
         # pooled state: position of the highest token id (the EOT token)
         eot = jnp.argmax(input_ids, axis=-1)

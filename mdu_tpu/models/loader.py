@@ -235,9 +235,12 @@ def _unet_config_from_json(d: Optional[dict]):
     layers = tuple(t if "CrossAttn" in b else 0 for t, b in zip(tl, down))
     head_dim = d.get("attention_head_dim", 8)
     if isinstance(head_dim, (list, tuple)):
-        head_dim = head_dim[0]
-    # diffusers pre-SD2 used attention_head_dim to mean NUM HEADS (8)
-    num_heads, hd = (head_dim, None) if head_dim <= 16 else (None, head_dim)
+        # list = per-block head COUNTS (SD2.x [5,10,20,20], SDXL [5,10,20]):
+        # the fixed head dim is channels/heads, 320//5 = 64
+        num_heads, hd = None, bc[0] // head_dim[0]
+    else:
+        # diffusers pre-SD2 used scalar attention_head_dim to mean NUM HEADS (8)
+        num_heads, hd = (head_dim, None) if head_dim <= 16 else (None, head_dim)
     return dataclasses.replace(
         cfg,
         in_channels=d.get("in_channels", 4),
@@ -276,14 +279,16 @@ def _vae_config_from_json(d: Optional[dict]):
     )
 
 
-def _clip_config_from_json(d: Optional[dict], clip_skip: int = 1):
+def _clip_config_from_json(d: Optional[dict], clip_skip: int = 1,
+                           ln_penultimate: bool = True):
     import dataclasses
 
     from .clip import clip_l_config
 
     cfg = clip_l_config()
     if not d:
-        return dataclasses.replace(cfg, clip_skip=clip_skip)
+        return dataclasses.replace(cfg, clip_skip=clip_skip,
+                                   ln_penultimate=ln_penultimate)
     return dataclasses.replace(
         cfg,
         vocab_size=d.get("vocab_size", cfg.vocab_size),
@@ -294,6 +299,7 @@ def _clip_config_from_json(d: Optional[dict], clip_skip: int = 1):
         hidden_act=d.get("hidden_act", cfg.hidden_act),
         projection_dim=d.get("projection_dim") if "projection_dim" in d else cfg.projection_dim,
         clip_skip=clip_skip,
+        ln_penultimate=ln_penultimate,
     )
 
 
@@ -315,9 +321,12 @@ def load_pipeline(model_dir: str, dtype=jnp.float32, schedule=None):
     vcfg = _vae_config_from_json(_read_json(os.path.join(model_dir, "vae", "config.json")))
     is_sdxl = ucfg.addition_embed_type == "text_time" or os.path.exists(
         os.path.join(model_dir, "text_encoder_2"))
+    # SDXL conditioners take the RAW penultimate hidden states (sgm/diffusers
+    # hidden_states[-2], no final LayerNorm); A1111-style clip-skip (SD1/SD2)
+    # LayerNorms them
     ccfg = _clip_config_from_json(
         _read_json(os.path.join(model_dir, "text_encoder", "config.json")),
-        clip_skip=2 if is_sdxl else 1)
+        clip_skip=2 if is_sdxl else 1, ln_penultimate=not is_sdxl)
     unet = UNet2DCondition(ucfg, dtype=dtype)
     vae = AutoencoderKL(vcfg, dtype=dtype)
     clip = CLIPTextModel(ccfg, dtype=dtype)
@@ -369,7 +378,8 @@ def load_pipeline(model_dir: str, dtype=jnp.float32, schedule=None):
         from ..text.sdxl import SDXLConditioner
 
         ccfg2 = _clip_config_from_json(
-            _read_json(os.path.join(te2_dir, "config.json")), clip_skip=2)
+            _read_json(os.path.join(te2_dir, "config.json")), clip_skip=2,
+            ln_penultimate=False)
         clip2 = CLIPTextModel(ccfg2, dtype=dtype)
         c2_state = load_safetensors(os.path.join(te2_dir, "model.safetensors"))
         c2_shapes = shapes(clip2, jnp.zeros((1, ccfg2.max_length), jnp.int32))

@@ -44,22 +44,43 @@ from .utils.image import grayscale_u8, image_to_tensor, tensor_to_image
 @dataclass
 class NoiseInverseCache:
     """One cached (x0, xt) latent pair (ref utils.py:42,
-    abstractdiffusion.py:627-646 — '~16 MB for an 8K image')."""
+    abstractdiffusion.py:627-646 — '~16 MB for an 8K image').
+
+    Keyed like the reference (abstractdiffusion.py:628-639): prompt content
+    (here a content hash of the cond pytree), model identity (the params
+    object the pipeline held when the inversion ran), steps, retouch, and
+    closeness of x0."""
 
     x0: np.ndarray
     xt: np.ndarray
     steps: int
     retouch: float
     prompt_key: str
+    params: Any = None           # same object the pipeline holds — no copy
 
-    def matches(self, x0: jnp.ndarray, steps: int, retouch: float, prompt_key: str) -> bool:
+    def matches(self, x0: jnp.ndarray, steps: int, retouch: float,
+                prompt_key: str, params: Any = None) -> bool:
         return (
             self.steps == steps
             and abs(self.retouch - retouch) < 0.01
             and self.prompt_key == prompt_key
+            and self.params is params
             and self.x0.shape == x0.shape
             and float(np.abs(self.x0 - np.asarray(x0)).sum()) < 100  # ref :635
         )
+
+
+def cond_fingerprint(cond) -> str:
+    """Content hash of a cond pytree (collision-safe replacement for the
+    leaf-sum key): sha1 over every leaf's bytes + shape."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for leaf in jax.tree.leaves(cond):
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
 
 
 @dataclass
@@ -98,6 +119,10 @@ class DiffusionPipeline:
         self.noise_inverse_cache: Optional[NoiseInverseCache] = None
         self.interrupted = False      # cooperative interruption flag
                                       # (ref state.interrupted checks, SURVEY.md §5)
+        # the user-supplied step callback is dereferenced at call time through
+        # this attribute, so compiled executables never bake a callback object
+        # (id()-keyed caching is unsound: CPython reuses ids after GC)
+        self._step_cb = None
         # jit-executable cache: keyed by static generation config so repeated
         # calls with new prompts/seeds reuse the compiled program
         self._jit_cache: Dict[Any, Any] = {}
@@ -300,6 +325,13 @@ class DiffusionPipeline:
 
         return wrapped
 
+    def _notify_step(self, i, x):
+        """Stable host-side trampoline baked into compiled programs in place
+        of the user's step_callback (which may change between calls)."""
+        cb = self._step_cb
+        if cb is not None:
+            cb(int(i), x)
+
     def _cached_jit(self, key, builder):
         fn = self._jit_cache.get(key)
         if fn is None:
@@ -360,6 +392,8 @@ class DiffusionPipeline:
         sampler_fn = get_sampler(sp.name)
         x = noise * sigmas[0]
         skey = jax.random.fold_in(key, 7)
+        self._step_cb = step_callback
+        cb = self._notify_step if step_callback is not None else None
 
         def builder():
             def run(uparams, rparams, cnparams, c, u, rc, sigmas, x, skey):
@@ -368,7 +402,7 @@ class DiffusionPipeline:
                                                 unet_params=uparams,
                                                 region_unet_params=rparams,
                                                 controlnet_params=cnparams)
-                kw = {"step_callback": step_callback}
+                kw = {"step_callback": cb}
                 if sp.s_churn > 0 and sp.name in ("Euler", "Heun"):
                     kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
                               s_tmax=sp.s_tmax, s_noise=sp.s_noise)
@@ -382,8 +416,9 @@ class DiffusionPipeline:
         rparams = tuple(region_unet_params or ()) or None
         if self._cacheable(cond, uncond, *(c for p in region_conds for c in p)):
             jkey = ("txt2img", plan.cache_key() if plan else (h, w), sp.name,
-                    sp.cfg_scale, sp.s_churn, uncond is None, len(region_conds),
-                    id(step_callback) if step_callback else None)
+                    sp.cfg_scale, (sp.s_churn, sp.s_tmin, sp.s_tmax, sp.s_noise),
+                    uncond is None, len(region_conds),
+                    step_callback is not None)
             runner = self._cached_jit(jkey, builder)
             latents = runner(self.unet_params, rparams, self.controlnet_params,
                              cond, uncond, tuple(region_conds), sigmas, x, skey)
@@ -457,14 +492,20 @@ class DiffusionPipeline:
         sigmas = all_sigmas[steps - t_enc - 1:]
 
         if td is not None and td.noise_inverse:
+            # sigma0 is the FULL schedule's sigma_max — the reference derives
+            # inverse_noise = latent - init/sigmas[0] from the untruncated
+            # schedule (abstractdiffusion.py:651), which at denoising_strength
+            # < 1 retains an init*(1 - sig_sched0/sigma_max) component
             noise = self._noise_inverse_combined_noise(
                 x_img, init_latent, noise, td, plan,
                 inversion_cond if inversion_cond is not None else cond,
-                sigma0=sigmas[0])
+                sigma0=all_sigmas[0])
 
         sampler_fn = get_sampler(sp.name)
         x = init_latent + noise * sigmas[0]
         skey = jax.random.fold_in(key, 7)
+        self._step_cb = step_callback
+        cb = self._notify_step if step_callback is not None else None
 
         # inpainting latent mask (A1111 masked redraw semantics): blend the
         # denoised estimate with the original latent each step
@@ -489,7 +530,7 @@ class DiffusionPipeline:
                     def den_fn(xx, ss, ii):  # noqa: F811
                         return init_lat * (1 - lm) + inner(xx, ss, ii) * lm
 
-                kw = {"step_callback": step_callback}
+                kw = {"step_callback": cb}
                 if sp.s_churn > 0 and sp.name in ("Euler", "Heun"):
                     kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
                               s_tmax=sp.s_tmax, s_noise=sp.s_noise)
@@ -503,9 +544,10 @@ class DiffusionPipeline:
         rparams = tuple(region_unet_params or ()) or None
         if self._cacheable(cond, uncond, *(c for p in region_conds for c in p)):
             jkey = ("img2img", plan.cache_key() if plan else (h, w), sp.name,
-                    sp.cfg_scale, sp.s_churn, uncond is None, len(region_conds),
+                    sp.cfg_scale, (sp.s_churn, sp.s_tmin, sp.s_tmax, sp.s_noise),
+                    uncond is None, len(region_conds),
                     latent_mask is not None,
-                    id(step_callback) if step_callback else None)
+                    step_callback is not None)
             runner = self._cached_jit(jkey, builder)
             latents = runner(self.unet_params, rparams, self.controlnet_params,
                              cond, uncond, tuple(region_conds), sigmas, x, skey,
@@ -530,18 +572,18 @@ class DiffusionPipeline:
     ) -> jnp.ndarray:
         """ref abstractdiffusion.py:604-679: invert init latent to noise,
         blend with fresh noise through the guided-filter renoise mask."""
-        prompt_key = str(np.asarray(
-            jax.tree.leaves(inv_cond)[0]).sum())  # cheap content hash
+        prompt_key = cond_fingerprint(inv_cond)
         cache = self.noise_inverse_cache
         if cache is not None and cache.matches(init_latent, td.noise_inverse_steps,
-                                               td.noise_inverse_retouch, prompt_key):
+                                               td.noise_inverse_retouch, prompt_key,
+                                               self.unet_params):
             xt = jnp.asarray(cache.xt)
         else:
             xt = self.noise_inversion(init_latent, inv_cond, td.noise_inverse_steps,
                                       td.noise_inverse_retouch, plan)
             self.noise_inverse_cache = NoiseInverseCache(
                 np.asarray(init_latent), np.asarray(xt), td.noise_inverse_steps,
-                td.noise_inverse_retouch, prompt_key)
+                td.noise_inverse_retouch, prompt_key, self.unet_params)
 
         inverse_noise = xt - init_latent / sigma0
 

@@ -65,7 +65,11 @@ class TextConditioner:
                 pieces.append((tid, w))
                 if len(pieces) == self.chunk:
                     flush()
-        flush()   # always at least one chunk (possibly empty prompt)
+        # final chunk only if non-empty, or nothing was emitted at all — an
+        # exact chunk-multiple prompt must not gain an empty trailing chunk
+        # (A1111 emits the last chunk only when it has tokens)
+        if pieces or not chunks:
+            flush()
         return chunks
 
     def encode(self, texts: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
