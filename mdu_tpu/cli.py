@@ -27,12 +27,16 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--negative", default="")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--sampler", default="Euler",
-                   choices=["Euler", "Euler a", "Heun", "DPM++ 2M", "DPM++ 2S a", "DDIM", "LMS"])
+                   choices=["Euler", "Euler a", "Heun", "DPM2", "DPM2 a",
+                            "DPM++ 2M", "DPM++ 2S a", "DPM++ SDE", "DDIM", "LMS"])
     p.add_argument("--schedule", default="automatic", choices=["automatic", "karras"])
     p.add_argument("--cfg-scale", type=float, default=7.0)
     p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--out", default="out.png")
     p.add_argument("--bf16", action="store_true", help="bfloat16 weights/compute")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard grid tiles over this many devices "
+                        "(tile-data-parallelism over the ICI mesh; 1 = off)")
     p.add_argument("--lora", action="append", default=[],
                    help="LoRA safetensors to merge, as path[:weight]; repeatable")
     p.add_argument("--lora-dir",
@@ -57,7 +61,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--no-tiled-vae", action="store_true")
     # region prompt control
     p.add_argument("--regions", help="region-config JSON file "
-                   "(ref region_configs/ format)")
+                   "(ref region_configs/ format), or a generated .png to "
+                   "recover regions + resolved seeds from its metadata")
     p.add_argument("--draw-background", action="store_true", default=True)
     p.add_argument("--no-draw-background", dest="draw_background", action="store_false")
 
@@ -70,6 +75,18 @@ def _load(args):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     print(f"loading checkpoint from {args.model_dir} ...", file=sys.stderr)
     pipe, conditioner = load_pipeline(args.model_dir, dtype=dtype)
+    if getattr(args, "devices", 1) > 1:
+        import jax
+
+        from .parallel import make_tile_mesh
+
+        n = min(args.devices, len(jax.devices()))
+        if n < args.devices:
+            print(f"warning: only {n} of {args.devices} requested devices "
+                  "available", file=sys.stderr)
+        pipe.mesh = make_tile_mesh(n) if n > 1 else None
+        if pipe.mesh is not None:
+            print(f"sharding grid tiles over {n} devices", file=sys.stderr)
     if getattr(args, "esrgan", None):
         from .models.esrgan import register_esrgan_upscaler
 
@@ -93,12 +110,26 @@ def _load(args):
 
 
 def _configs(args):
-    from .config import SamplerConfig, TiledDiffusionConfig, TiledVAEConfig, regions_from_json
+    from .config import (SamplerConfig, TiledDiffusionConfig, TiledVAEConfig,
+                         regions_from_json, regions_from_png_info)
 
     regions = []
     if args.regions:
-        with open(args.regions, encoding="utf-8") as f:
-            regions = regions_from_json(f.read())
+        if args.regions.lower().endswith(".png"):
+            # seed recovery from a generated image's metadata
+            # (ref bboxHint.js getSeedInfo :171-221)
+            from PIL import Image
+
+            img = Image.open(args.regions)
+            params = img.text.get("parameters") if hasattr(img, "text") else None
+            if not params:
+                raise SystemExit(f"{args.regions}: no generation metadata")
+            regions = regions_from_png_info(json.loads(params))
+            print(f"recovered {len(regions)} region(s) from PNG metadata",
+                  file=sys.stderr)
+        else:
+            with open(args.regions, encoding="utf-8") as f:
+                regions = regions_from_json(f.read())
     td = None
     if not args.no_tiled_diffusion:
         td = TiledDiffusionConfig(

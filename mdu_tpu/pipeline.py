@@ -30,7 +30,7 @@ from .ops.resize import resize_nchw
 from .samplers.denoiser import cfg_combine, denoised_from_model, scalings
 from .samplers.samplers import STOCHASTIC_SAMPLERS, get_sampler
 from .samplers.schedule import NoiseSchedule
-from .tiling.conds import Cond, concat_conds, tile_cond
+from .tiling.conds import Cond, concat_conds, tile_cond, tile_cond_stacked
 from .tiling.regions import compose_region_noise, resolve_seed
 from .tiling.schedulers import DiffusionTilePlan, make_tiled_denoiser, plan_tiled_diffusion
 from .tiling.tiled_vae import tiled_vae_decode, tiled_vae_encode_moments
@@ -39,6 +39,24 @@ from .utils.bbox import BlendMode
 from .utils.grid import splitable
 from .utils.guided_filter import get_retouch_mask
 from .utils.image import grayscale_u8, image_to_tensor, tensor_to_image
+
+
+def host_callbacks_supported() -> bool:
+    """Whether the active backend supports host send/recv callbacks.
+
+    The tunneled TPU plugin ('axon' platform) rejects io_callback /
+    pure_callback / jax.debug.callback with UNIMPLEMENTED — per-step
+    interruption and step callbacks must be skipped there.  Override with
+    MDU_HOST_CALLBACKS=0/1."""
+    import os
+
+    v = os.environ.get("MDU_HOST_CALLBACKS")
+    if v is not None:
+        return v == "1"
+    try:
+        return jax.devices()[0].platform != "axon"
+    except Exception:        # noqa: BLE001
+        return True
 
 
 @dataclass
@@ -108,6 +126,9 @@ class DiffusionPipeline:
         schedule: Optional[NoiseSchedule] = None,
         controlnet=None,
         controlnet_params: Any = None,
+        mesh=None,
+        guidance_model=None,
+        guidance_params: Any = None,
     ):
         self.unet = unet
         self.unet_params = unet_params
@@ -116,6 +137,18 @@ class DiffusionPipeline:
         self.schedule = schedule or NoiseSchedule()
         self.controlnet = controlnet
         self.controlnet_params = controlnet_params
+        # StableSR-style latent-image guidance adapter (models/stablesr.py,
+        # ref abstractdiffusion.py:547-588): consumes the canvas-shaped
+        # cond['guidance'] leaf, which tile_cond slices per tile/region
+        self.guidance_model = guidance_model
+        self.guidance_params = guidance_params
+        # optional jax.sharding.Mesh with a 'tiles' axis: grid-tile denoising
+        # shards over it (tile-data-parallelism over ICI, SURVEY.md §2
+        # parallelism table); model params stay replicated
+        self.mesh = mesh
+        if mesh is not None and "tiles" not in mesh.shape:
+            raise ValueError("pipeline mesh needs a 'tiles' axis "
+                             "(parallel.make_tile_mesh)")
         self.noise_inverse_cache: Optional[NoiseInverseCache] = None
         self.interrupted = False      # cooperative interruption flag
                                       # (ref state.interrupted checks, SURVEY.md §5)
@@ -140,6 +173,8 @@ class DiffusionPipeline:
         controlnet = self.controlnet
         cn_params = (self.controlnet_params if controlnet_params is None
                      else controlnet_params)
+        guidance = self.guidance_model
+        g_params = self.guidance_params
 
         def fn(x, t, cond: Cond):
             xin = x
@@ -159,6 +194,14 @@ class DiffusionPipeline:
             if controlnet is not None and hints:
                 residuals = controlnet.apply(
                     cn_params, xin, t, cond["crossattn"], hints[0], added)
+            g = cond.get("guidance")
+            if guidance is not None and g is not None:
+                from .models.stablesr import combine_residuals
+
+                if g.shape[0] != x.shape[0] and x.shape[0] % g.shape[0] == 0:
+                    g = jnp.repeat(g, x.shape[0] // g.shape[0], axis=0)
+                residuals = combine_residuals(
+                    residuals, guidance.apply(g_params, g.astype(x.dtype), t))
             return unet.apply(params, xin, t, cond["crossattn"], added,
                               residuals=residuals)
 
@@ -200,33 +243,14 @@ class DiffusionPipeline:
             return cond_fn
         return lambda step, _c=c: _c
 
-    def _make_denoised_fn(
-        self,
-        plan: Optional[DiffusionTilePlan],
-        cond,
-        uncond,
-        cfg_scale: float,
-        region_conds: Sequence[Tuple[Any, Any]] = (),
-        latent_hw: Optional[Tuple[int, int]] = None,
-        unet_params=None,
-        region_unet_params: Optional[Sequence[Any]] = None,
-        controlnet_params=None,
-    ):
+    def _make_guided(self, cfg_scale: float, unet_params=None,
+                     controlnet_params=None):
+        """Build the CFG'd denoiser core shared by the tiled pipeline and
+        DemoFusion: ``guided(x, sigma, c, u, den_=den) -> denoised`` with
+        AND-composition, cond batch alignment, and classifier-free guidance
+        (the reference's CFGDenoiser responsibilities, SURVEY.md L0)."""
         den = denoised_from_model(
             self._model_fn(unet_params, controlnet_params), self.schedule)
-        cond_f = self._as_cond_fn(cond)
-        uncond_f = self._as_cond_fn(uncond)
-        region_fs = [(self._as_cond_fn(rc), self._as_cond_fn(ru))
-                     for rc, ru in region_conds]
-        # per-region LoRA'd weights (ref per-region extra-network activation,
-        # multidiffusion.py:180-182): regions with their own params get their
-        # own denoiser
-        region_dens = []
-        for i in range(len(region_conds)):
-            rp = region_unet_params[i] if region_unet_params else None
-            region_dens.append(
-                denoised_from_model(self._model_fn(rp), self.schedule)
-                if rp is not None else den)
 
         def _align(c, B):
             """Repeat cond leaves so their batch matches x (image batch > 1);
@@ -275,6 +299,35 @@ class DiffusionPipeline:
             du, dc = jnp.split(d, 2, axis=0)
             return cfg_combine(du, dc, cfg_scale)
 
+        return guided, den
+
+    def _make_denoised_fn(
+        self,
+        plan: Optional[DiffusionTilePlan],
+        cond,
+        uncond,
+        cfg_scale: float,
+        region_conds: Sequence[Tuple[Any, Any]] = (),
+        latent_hw: Optional[Tuple[int, int]] = None,
+        unet_params=None,
+        region_unet_params: Optional[Sequence[Any]] = None,
+        controlnet_params=None,
+    ):
+        guided, den = self._make_guided(cfg_scale, unet_params, controlnet_params)
+        cond_f = self._as_cond_fn(cond)
+        uncond_f = self._as_cond_fn(uncond)
+        region_fs = [(self._as_cond_fn(rc), self._as_cond_fn(ru))
+                     for rc, ru in region_conds]
+        # per-region LoRA'd weights (ref per-region extra-network activation,
+        # multidiffusion.py:180-182): regions with their own params get their
+        # own denoiser
+        region_dens = []
+        for i in range(len(region_conds)):
+            rp = region_unet_params[i] if region_unet_params else None
+            region_dens.append(
+                denoised_from_model(self._model_fn(rp), self.schedule)
+                if rp is not None else den)
+
         if plan is None:
 
             def denoised_fn(x, sigma, step):
@@ -300,9 +353,35 @@ class DiffusionPipeline:
             u = uncond_f(step) if uncond_f is not None else None
             return guided(x, sigma, cond_f(step), u)
 
+        sharded_td = conds_fn = None
+        if self.mesh is not None:
+            # full-contract mesh sharding: CFG/AND/scheduled conds are sliced
+            # per tile OUTSIDE shard_map (stacked on a leading tile axis and
+            # sharded with the tiles); static AND weights re-attach inside
+            cw = (cond["__weights__"]
+                  if isinstance(cond, dict) and "__and__" in cond else None)
+            uw = (uncond["__weights__"]
+                  if isinstance(uncond, dict) and "__and__" in uncond else None)
+
+            def conds_fn(step):
+                c = tile_cond_stacked(cond_f(step), plan.bboxes, hw)
+                u = (tile_cond_stacked(uncond_f(step), plan.bboxes, hw)
+                     if uncond_f is not None else None)
+                return {"c": c, "u": u}
+
+            def sharded_td(flat, sigma, step, conds):
+                c, u = conds["c"], conds["u"]
+                if cw is not None:
+                    c = {**c, "__weights__": cw}
+                if uw is not None and u is not None:
+                    u = {**u, "__weights__": uw}
+                return guided(flat, sigma, c, u)
+
         return self._interruptible(make_tiled_denoiser(
             plan, tile_denoise,
-            region_denoise if plan.regions else None, org_fn))
+            region_denoise if plan.regions else None, org_fn,
+            mesh=self.mesh, sharded_tile_denoise=sharded_td,
+            tile_conds_fn=conds_fn))
 
     def _interruptible(self, fn):
         """Per-step cooperative interruption *inside* jit: an io_callback
@@ -310,7 +389,13 @@ class DiffusionPipeline:
         denoise (x passes through unchanged), so an interrupted run stops
         paying UNet FLOPs immediately (ref checks shared.state.interrupted
         before every UNet call).  Callers clear ``pipe.interrupted``
-        themselves before reusing the pipeline."""
+        themselves before reusing the pipeline.
+
+        Backends without host send/recv (the tunneled axon PJRT plugin
+        rejects io_callback/pure_callback/debug.callback) run uninterrupted;
+        DemoFusion still honors the flag between phases."""
+        if not host_callbacks_supported():
+            return fn
         from jax.experimental import io_callback
 
         def _read_flag():
@@ -394,6 +479,11 @@ class DiffusionPipeline:
         skey = jax.random.fold_in(key, 7)
         self._step_cb = step_callback
         cb = self._notify_step if step_callback is not None else None
+        if cb is not None and not host_callbacks_supported():
+            print("[Tiled Diffusion] step callbacks unsupported on this "
+                  "backend (no host send/recv); ignoring",
+                  file=__import__('sys').stderr)
+            cb = None
 
         def builder():
             def run(uparams, rparams, cnparams, c, u, rc, sigmas, x, skey):
@@ -403,7 +493,7 @@ class DiffusionPipeline:
                                                 region_unet_params=rparams,
                                                 controlnet_params=cnparams)
                 kw = {"step_callback": cb}
-                if sp.s_churn > 0 and sp.name in ("Euler", "Heun"):
+                if sp.s_churn > 0 and sp.name in ("Euler", "Heun", "DPM2"):
                     kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
                               s_tmax=sp.s_tmax, s_noise=sp.s_noise)
                     return sampler_fn(den_fn, x, sigmas, skey, **kw)
@@ -454,6 +544,14 @@ class DiffusionPipeline:
     ) -> GenerationResult:
         sp = self._resolve_sampler(sampler)
         td = tiled_diffusion
+        if td is not None and td.noise_inverse and sp.name != "Euler":
+            # the reference forces Euler under noise inversion — other
+            # samplers' noise/history mixes poorly with the inverted-noise
+            # trajectory (ref tilediffusion.py:431-435)
+            print(f"[Tiled Diffusion] noise inversion: overriding sampler "
+                  f"{sp.name!r} -> 'Euler' (ref convention)",
+                  file=__import__('sys').stderr)
+            sp = dataclasses.replace(sp, name="Euler")
         key = jax.random.PRNGKey(seed)
 
         if init_latents is not None:
@@ -506,6 +604,11 @@ class DiffusionPipeline:
         skey = jax.random.fold_in(key, 7)
         self._step_cb = step_callback
         cb = self._notify_step if step_callback is not None else None
+        if cb is not None and not host_callbacks_supported():
+            print("[Tiled Diffusion] step callbacks unsupported on this "
+                  "backend (no host send/recv); ignoring",
+                  file=__import__('sys').stderr)
+            cb = None
 
         # inpainting latent mask (A1111 masked redraw semantics): blend the
         # denoised estimate with the original latent each step
@@ -531,7 +634,7 @@ class DiffusionPipeline:
                         return init_lat * (1 - lm) + inner(xx, ss, ii) * lm
 
                 kw = {"step_callback": cb}
-                if sp.s_churn > 0 and sp.name in ("Euler", "Heun"):
+                if sp.s_churn > 0 and sp.name in ("Euler", "Heun", "DPM2"):
                     kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
                               s_tmax=sp.s_tmax, s_noise=sp.s_noise)
                     return sampler_fn(den_fn, x, sigmas, skey, **kw)
@@ -653,10 +756,21 @@ class DiffusionPipeline:
             def eps_org(x, sigma, step):
                 return self._raw_eps(model_fn, x, sigma, cond, retouch)
 
+            sharded_eps = conds_fn = None
+            if self.mesh is not None and plan is not None:
+                def conds_fn(step):
+                    return tile_cond_stacked(cond, plan.bboxes, (plan.h, plan.w))
+
+                def sharded_eps(flat, sigma, step, c):
+                    return self._raw_eps(model_fn, flat, sigma, c, retouch)
+
             if plan is not None:
                 tiled_eps = make_tiled_denoiser(plan, eps_tile,
                                                 eps_region if plan.regions else None,
-                                                eps_org)
+                                                eps_org,
+                                                mesh=self.mesh,
+                                                sharded_tile_denoise=sharded_eps,
+                                                tile_conds_fn=conds_fn)
             else:
                 tiled_eps = eps_org
 
@@ -685,6 +799,39 @@ class DiffusionPipeline:
     # ------------------------------------------------------------------- VAE
 
     def _decode(self, latents: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> np.ndarray:
+        """Decode with the reference's failure-recovery chain
+        (ref tilevae.py:500-503, 570-573, 625): NaN in the decoded tensor →
+        retry with fast-estimated GroupNorm stats → cheap latent→RGB
+        approximation as the last-resort result."""
+        out = np.asarray(self._decode_tensor(latents, tv))
+        if np.isfinite(out).all():
+            return tensor_to_image(out)
+
+        print("[Tiled VAE] NaN in decoded image; retrying with estimated "
+              "GroupNorm stats (ref tilevae.py:502)", file=__import__('sys').stderr)
+        tv_fast = dataclasses.replace(tv or TiledVAEConfig(),
+                                      enabled=True, fast_decoder=True,
+                                      streaming=False)
+        try:
+            out = np.asarray(self._decode_tensor(latents, tv_fast))
+        except Exception:                            # noqa: BLE001
+            out = np.full_like(out, np.nan)
+        if np.isfinite(out).all():
+            return tensor_to_image(out)
+
+        print("[Tiled VAE] still NaN; returning cheap latent approximation "
+              "(ref tilevae.py:570-573)", file=__import__('sys').stderr)
+        from .utils.image import cheap_latent_preview
+
+        approx = cheap_latent_preview(
+            np.asarray(latents, np.float32) / self.vae.cfg.scaling_factor)
+        approx = resize_nchw(jnp.asarray(approx),
+                             (latents.shape[-2] * 8, latents.shape[-1] * 8),
+                             "linear")
+        return tensor_to_image(np.clip(np.asarray(approx), -1.0, 1.0))
+
+    def _decode_tensor(self, latents: jnp.ndarray,
+                       tv: Optional[TiledVAEConfig]) -> jnp.ndarray:
         if tv is not None and tv.enabled and tv.streaming:
             from .tiling.streaming_vae import streaming_tiled_vae
 
@@ -693,7 +840,7 @@ class DiffusionPipeline:
                                       "decoder", tv.decoder_tile_size,
                                       tv.tile_batch)
             if out is not None:
-                return tensor_to_image(out)
+                return out
 
         def builder():
             def run(vp, z):
@@ -708,7 +855,7 @@ class DiffusionPipeline:
 
         jkey = ("decode", None if tv is None else
                 (tv.enabled, tv.decoder_tile_size, tv.fast_decoder, tv.tile_batch))
-        return tensor_to_image(self._cached_jit(jkey, builder)(self.vae_params, latents))
+        return self._cached_jit(jkey, builder)(self.vae_params, latents)
 
     def _encode(self, x_img: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> jnp.ndarray:
         if tv is not None and tv.enabled and tv.streaming:

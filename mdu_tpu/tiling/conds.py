@@ -57,3 +57,33 @@ def tile_cond(cond: Optional[Cond], bboxes: Sequence[BBox],
 
 def concat_conds(a: Cond, b: Cond) -> Cond:
     return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+
+
+def _stack_leaf(leaf: jnp.ndarray, bboxes: Sequence[BBox], latent_hw: Tuple[int, int]):
+    h, w = latent_hw
+    T = len(bboxes)
+    if leaf.ndim == 4 and leaf.shape[2:] == (h, w):
+        return jnp.stack([leaf[:, :, b.y:b.y + b.h, b.x:b.x + b.w] for b in bboxes])
+    if leaf.ndim == 4 and leaf.shape[2:] == (h * LATENT_TO_PIXEL, w * LATENT_TO_PIXEL):
+        f = LATENT_TO_PIXEL
+        return jnp.stack(
+            [leaf[:, :, b.y * f:(b.y + b.h) * f, b.x * f:(b.x + b.w) * f] for b in bboxes])
+    return jnp.broadcast_to(leaf[None], (T,) + leaf.shape)
+
+
+def tile_cond_stacked(cond: Optional[Cond], bboxes: Sequence[BBox],
+                      latent_hw: Tuple[int, int]) -> Optional[Cond]:
+    """Like :func:`tile_cond` but with an explicit leading tile axis
+    ``[T, B, ...]`` on every leaf — the form the mesh-sharded tile denoiser
+    shards over the 'tiles' axis (parallel/ + tiling/schedulers.py).
+
+    ``__weights__`` (static floats of AND conds) are stripped: shard_map
+    in_specs trees must be arrays-only; the pipeline re-attaches them inside
+    the shard body (they are trace-time constants).
+    """
+    if cond is None:
+        return None
+    if isinstance(cond, dict) and "__and__" in cond:
+        return {"__and__": [tile_cond_stacked(p, bboxes, latent_hw)
+                            for p in cond["__and__"]]}
+    return jax.tree.map(lambda leaf: _stack_leaf(leaf, bboxes, latent_hw), cond)

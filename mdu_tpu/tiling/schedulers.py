@@ -172,11 +172,25 @@ def make_tiled_denoiser(
     tile_denoise: TileDenoiseFn,
     region_denoise: Optional[RegionDenoiseFn] = None,
     org_fn: Optional[OrgFn] = None,
+    mesh=None,
+    sharded_tile_denoise=None,
+    tile_conds_fn=None,
 ):
     """Build `denoised_fn(x, sigma, step)` fusing per-tile denoising.
 
     Mirrors sample_one_step (multidiffusion.py:131-218) /
     apply_model_hijack (mixtureofdiffusers.py:61-179).
+
+    When ``mesh`` (with a 'tiles' axis) and ``sharded_tile_denoise`` are
+    given, the grid tiles shard over the mesh: each device denoises its tile
+    shard (in tile_bs-sized chunks), scatter-adds into a partial canvas, and
+    one ``psum`` over ICI fuses the partials — the all-reduce formulation of
+    the reference's sequential scatter loop (multidiffusion.py:166-167).
+    ``sharded_tile_denoise(flat, sigma, step, conds)`` consumes the local
+    shard with per-tile conds pre-sliced by ``tile_conds_fn(step)`` (a
+    pytree whose every leaf has leading tile axis [T, B, ...], built with
+    tiling/conds.py::tile_cond_stacked).  Regions stay replicated — they are
+    few and each may use its own params/LoRA.
     """
     is_mod = plan.method == Method.MIX_DIFF
     weights = jnp.asarray(plan.weights)
@@ -188,10 +202,12 @@ def make_tiled_denoiser(
 
     # precompute per-tile scatter weights for MoD: gaussian * rescale[bbox]
     per_tile_w: List[Optional[jnp.ndarray]] = []
+    ptw_np = None
     if is_mod and plan.draw_background:
-        for b in plan.bboxes:
-            wmap = plan.tile_weights * rescale[0, 0, b.y:b.y + b.h, b.x:b.x + b.w]
-            per_tile_w.append(jnp.asarray(wmap[None, None]))
+        ptw_np = np.stack([
+            plan.tile_weights * rescale[0, 0, b.y:b.y + b.h, b.x:b.x + b.w]
+            for b in plan.bboxes]).astype(np.float32)
+        per_tile_w = [jnp.asarray(w[None, None]) for w in ptw_np]
     region_scatter_w: List[Optional[jnp.ndarray]] = []
     for r, gw in zip(plan.regions, plan.region_weights):
         if is_mod and r.blend_mode == BlendMode.BACKGROUND:
@@ -204,6 +220,13 @@ def make_tiled_denoiser(
         for i, r in enumerate(plan.regions) if r.blend_mode == BlendMode.FOREGROUND
     }
 
+    use_sharded = (mesh is not None and sharded_tile_denoise is not None
+                   and plan.draw_background and len(plan.bboxes) > 0)
+    sharded_grid = None
+    if use_sharded:
+        sharded_grid = _make_sharded_grid(
+            plan, mesh, sharded_tile_denoise, tile_conds_fn, ptw_np)
+
     def denoised_fn(x: jnp.ndarray, sigma: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
         B, C, H, W = x.shape
         if (H, W) != (plan.h, plan.w):
@@ -215,9 +238,11 @@ def make_tiled_denoiser(
 
         buf = jnp.zeros_like(x)
         fused_grid = (not is_mod and not plan.regions and plan.draw_background
-                      and _use_fused_blend())
+                      and not use_sharded and _use_fused_blend())
 
-        if plan.draw_background:
+        if use_sharded:
+            buf = sharded_grid(x, sigma, step)
+        elif plan.draw_background:
             tidx = 0
             all_out = [] if fused_grid else None
             for batch_i, bboxes in enumerate(plan.batched):
@@ -274,3 +299,81 @@ def make_tiled_denoiser(
         return x_out
 
     return denoised_fn
+
+
+def _make_sharded_grid(plan: DiffusionTilePlan, mesh, sharded_tile_denoise,
+                       tile_conds_fn, ptw_np: Optional[np.ndarray]):
+    """Grid-tile fusion sharded over the mesh 'tiles' axis.
+
+    Returns ``grid_buf(x, sigma, step) -> [B,C,h,w]`` — the *accumulated*
+    canvas (MultiDiffusion: raw scatter-add sums awaiting the weight divide;
+    MoD: pre-normalized).  Padding tiles (repeats of the last tile) carry
+    zero weight maps, so they contribute nothing to the psum.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape["tiles"]
+    T = len(plan.bboxes)
+    T_pad = -(-T // n_dev) * n_dev
+    t_local = T_pad // n_dev
+    th, tw = plan.tile_h, plan.tile_w
+
+    offsets = np.array([[b.y, b.x] for b in plan.bboxes], np.int32)
+    offsets = np.concatenate(
+        [offsets, np.repeat(offsets[-1:], T_pad - T, axis=0)], axis=0)
+    wmaps = ptw_np if ptw_np is not None else np.ones((T, th, tw), np.float32)
+    wmaps = np.concatenate(
+        [wmaps, np.zeros((T_pad - T, th, tw), np.float32)], axis=0)
+
+    def _pad_tiles(a):
+        if T_pad == T:
+            return a
+        return jnp.concatenate([a, jnp.repeat(a[-1:], T_pad - T, axis=0)], axis=0)
+
+    def grid_buf(x, sigma, step):
+        from ..ops.fusion import gather_tiles
+
+        B, C = x.shape[0], x.shape[1]
+        tiles = _pad_tiles(gather_tiles(x, plan.bboxes))       # [T_pad,B,C,th,tw]
+        conds = tile_conds_fn(step) if tile_conds_fn is not None else None
+        conds = jax.tree.map(_pad_tiles, conds)
+        cond_specs = jax.tree.map(lambda _: P("tiles"), conds)
+
+        def body(tiles_l, offs_l, wm_l, conds_l):
+            # tiles_l [t_local,B,C,th,tw]; sigma/step/params enter by closure
+            # (replicated).  Denoise in tile_bs-sized chunks to bound HBM —
+            # the same per-call batch the unsharded path uses.
+            outs = []
+            for s0 in range(0, t_local, plan.tile_bs):
+                s1 = min(t_local, s0 + plan.tile_bs)
+                flat = tiles_l[s0:s1].reshape((s1 - s0) * B, C, th, tw)
+                # explicit leading size: -1 can't be inferred for
+                # zero-element leaves (e.g. a [.,0,h,w] txt2img concat)
+                cchunk = jax.tree.map(
+                    lambda l, a=s0, b=s1: l[a:b].reshape(
+                        ((b - a) * l.shape[1],) + l.shape[2:]), conds_l)
+                outs.append(sharded_tile_denoise(flat, sigma, step, cchunk)
+                            .reshape(s1 - s0, B, C, th, tw))
+            out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+            out = out * wm_l[:, None, None]
+
+            canvas = jnp.zeros((B, C, plan.h, plan.w), out.dtype)
+            # the partial canvas varies per device shard (vma typing)
+            canvas = jax.lax.pcast(canvas, ("tiles",), to="varying")
+
+            def add_tile(i, cv):
+                y, xo = offs_l[i, 0], offs_l[i, 1]
+                cur = jax.lax.dynamic_slice(cv, (0, 0, y, xo), (B, C, th, tw))
+                return jax.lax.dynamic_update_slice(cv, cur + out[i], (0, 0, y, xo))
+
+            canvas = jax.lax.fori_loop(0, t_local, add_tile, canvas)
+            return jax.lax.psum(canvas, "tiles")
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("tiles"), P("tiles"), P("tiles"), cond_specs),
+            out_specs=P(),
+        )(tiles, jnp.asarray(offsets), jnp.asarray(wmaps), conds)
+
+    return grid_buf
