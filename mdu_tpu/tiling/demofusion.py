@@ -20,9 +20,18 @@ combinator:
     latents <- bicubic upscale; re-noise via truncated schedule;
     mean/std re-anchored to the phase-1 anchor.
 
-Window jitter is drawn host-side per phase (ref computes it once per phase
-in get_views, tileglobal.py:322), so all shapes and offsets are static under
-jit; only the blur sigma follows a traced cosine schedule.
+Conds carry the full contract (ref consumes standard A1111 conds,
+demofusion.py:219-324): scheduled banks and AND composition resolve per
+step via the pipeline's cond machinery, and canvas-shaped leaves (inpaint
+'concat', ControlNet hints) are sliced per window / per dilated view.
+
+Window jitter is *key-threaded* (SURVEY.md §7 hard part c): windows sit at
+static base positions inside a jr-padded canvas and the per-phase random
+offsets enter the jitted program as a traced [n_windows, 2] array consumed
+by lax.dynamic_slice — shapes stay static, so repeated DemoFusion calls
+reuse the compiled executables from the pipeline's jit cache (the reference
+re-jitters per phase in get_views, tileglobal.py:322, and pays nothing
+because it is eager; we'd pay a full XLA retrace without this).
 """
 from __future__ import annotations
 
@@ -41,24 +50,33 @@ from ..samplers.samplers import STOCHASTIC_SAMPLERS, get_sampler
 from ..utils.bbox import BBox
 from ..utils.grid import batch_bboxes
 
+LATENT_TO_PIXEL = 8
+
 
 @dataclass(frozen=True)
 class DemoFusionPhasePlan:
     scale: int
     h: int                       # latent canvas (this phase)
     w: int
-    jitter: int
-    windows: Tuple[BBox, ...]    # in padded coords
-    window_batches: Tuple[Tuple[BBox, ...], ...]
+    tile: int
+    jitter: int                  # max |offset|; canvas padded by this much
+    windows: Tuple[BBox, ...]    # UN-jittered bases in *unpadded* coords
+    window_batches: Tuple[Tuple[int, ...], ...]       # index batches
+    jitter_lo: Tuple[Tuple[int, int], ...]            # per-window (dy,dx) min
+    jitter_hi: Tuple[Tuple[int, int], ...]            # per-window (dy,dx) max
     global_offsets: Tuple[Tuple[int, int], ...]   # (oy, ox), doubled if mixture
     global_batches: Tuple[Tuple[Tuple[int, int], ...], ...]
 
+    def cache_key(self):
+        return (self.scale, self.h, self.w, self.tile, self.jitter,
+                self.windows, self.global_offsets)
+
 
 def plan_demofusion_phase(
-    h: int, w: int, scale: int, cfg: DemoFusionConfig, rng: np.random.Generator,
+    h: int, w: int, scale: int, cfg: DemoFusionConfig,
 ) -> DemoFusionPhasePlan:
-    """Jittered window grid (ref demofusion.py:101-138) + dilated global
-    offsets (ref :87-99)."""
+    """Window grid (ref demofusion.py:101-138) + dilated global offsets
+    (ref :87-99).  Jitter *ranges* are static; the draw happens per call."""
     tile = min(cfg.window_size, min(h, w))
     overlap = max(0, min(cfg.overlap, tile - 4))
     stride = max(4, tile - overlap)
@@ -74,48 +92,170 @@ def plan_demofusion_phase(
                      min(tile // 2, overlap // 2))
 
     windows: List[BBox] = []
+    lo: List[Tuple[int, int]] = []
+    hi: List[Tuple[int, int]] = []
     for r in range(rows):
         for c in range(cols):
             y = min(int(r * dy), h - tile)
             x = min(int(c * dx), w - tile)
-            if jitter > 0:
-                # interior windows jitter both ways; edge windows only inward
-                jx_lo = -jitter if x != 0 else 0
-                jx_hi = jitter if x + tile != w else 0
-                jy_lo = -jitter if y != 0 else 0
-                jy_hi = jitter if y + tile != h else 0
-                x += int(rng.integers(jx_lo, jx_hi + 1)) + jitter
-                y += int(rng.integers(jy_lo, jy_hi + 1)) + jitter
             windows.append(BBox(x, y, tile, tile))
+            # interior windows jitter both ways; edge windows only inward
+            # (ref split_bboxes_jitter, demofusion.py:116-134)
+            lo.append((-jitter if y != 0 else 0, -jitter if x != 0 else 0))
+            hi.append((jitter if y + tile != h else 0,
+                       jitter if x + tile != w else 0))
 
     offsets = [(oy, ox) for oy in range(scale) for ox in range(scale)]
     if cfg.mixture:
         offsets = offsets + offsets
 
+    idx_batches = tuple(tuple(b) for b in
+                        batch_bboxes(list(range(len(windows))), cfg.tile_bs))
     return DemoFusionPhasePlan(
-        scale=scale, h=h, w=w, jitter=jitter,
-        windows=tuple(windows),
-        window_batches=tuple(tuple(b) for b in batch_bboxes(windows, cfg.tile_bs)),
+        scale=scale, h=h, w=w, tile=tile, jitter=jitter,
+        windows=tuple(windows), window_batches=idx_batches,
+        jitter_lo=tuple(lo), jitter_hi=tuple(hi),
         global_offsets=tuple(offsets),
         global_batches=tuple(tuple(b) for b in batch_bboxes(offsets, cfg.tile_bs_g)),
     )
 
 
+def draw_jitter(plan: DemoFusionPhasePlan, rng: np.random.Generator) -> np.ndarray:
+    """Per-phase random window offsets, drawn host-side -> traced arg."""
+    out = np.zeros((len(plan.windows), 2), np.int32)
+    for i, (lo, hi) in enumerate(zip(plan.jitter_lo, plan.jitter_hi)):
+        out[i, 0] = rng.integers(lo[0], hi[0] + 1)
+        out[i, 1] = rng.integers(lo[1], hi[1] + 1)
+    return out
+
+
+# --------------------------------------------------------- cond slicing
+
+
+def _map_cond(c, leaf_fn):
+    """tree-map preserving AND structure (weights untouched)."""
+    if c is None:
+        return None
+    if isinstance(c, dict) and "__and__" in c:
+        out = {"__and__": [_map_cond(p, leaf_fn) for p in c["__and__"]]}
+        if "__weights__" in c:
+            out["__weights__"] = c["__weights__"]
+        return out
+    return jax.tree.map(leaf_fn, c)
+
+
+def _pad_spatial(c, jr: int, hw: Tuple[int, int]):
+    """Pad canvas-shaped cond leaves like the latent canvas is padded."""
+    if jr == 0:
+        return c
+    H, W = hw
+    f = LATENT_TO_PIXEL
+
+    def pad(leaf):
+        if leaf.ndim == 4 and leaf.shape[2:] == (H, W):
+            return jnp.pad(leaf, ((0, 0), (0, 0), (jr, jr), (jr, jr)))
+        if leaf.ndim == 4 and leaf.shape[2:] == (H * f, W * f):
+            return jnp.pad(leaf, ((0, 0), (0, 0), (jr * f, jr * f), (jr * f, jr * f)))
+        return leaf
+
+    return _map_cond(c, pad)
+
+
+def _window_cond(c_pad, offs, tile: int, hw: Tuple[int, int], jr: int):
+    """Per-window cond batch with *traced* (y, x) offsets — the dynamic
+    analogue of tiling/conds.py::tile_cond (tile-major concat)."""
+    if c_pad is None:
+        return None
+    H, W = hw
+    f = LATENT_TO_PIXEL
+    K = len(offs)
+
+    def slice_leaf(leaf):
+        if leaf.ndim == 4 and leaf.shape[2:] == (H + 2 * jr, W + 2 * jr):
+            return jnp.concatenate([
+                jax.lax.dynamic_slice(
+                    leaf, (0, 0, oy, ox),
+                    (leaf.shape[0], leaf.shape[1], tile, tile))
+                for oy, ox in offs], axis=0)
+        if leaf.ndim == 4 and leaf.shape[2:] == ((H + 2 * jr) * f, (W + 2 * jr) * f):
+            return jnp.concatenate([
+                jax.lax.dynamic_slice(
+                    leaf, (0, 0, oy * f, ox * f),
+                    (leaf.shape[0], leaf.shape[1], tile * f, tile * f))
+                for oy, ox in offs], axis=0)
+        return jnp.concatenate([leaf] * K, axis=0)
+
+    return _map_cond(c_pad, slice_leaf)
+
+
+def _dilated_cond(c, views, scale: int, hw: Tuple[int, int]):
+    """Per-dilated-view cond batch: canvas leaves subsampled ``[oy::s, ox::s]``
+    (ref global_split_bboxes consumes the same strided views, :87-99)."""
+    if c is None:
+        return None
+    H, W = hw
+    K = len(views)
+
+    def slice_leaf(leaf):
+        if leaf.ndim == 4 and leaf.shape[2:] == (H, W):
+            return jnp.concatenate(
+                [leaf[:, :, oy::scale, ox::scale] for oy, ox in views], axis=0)
+        return jnp.concatenate([leaf] * K, axis=0)
+
+    return _map_cond(c, slice_leaf)
+
+
+def resize_spatial_conds(c, src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
+    """Track the latent canvas across phases: canvas-shaped cond leaves
+    (base-resolution inpaint 'concat', hints) resize with it — the analogue
+    of A1111 rebuilding image conditioning per phase (ref tileglobal.py's
+    per-phase sample_img2img on the upscaled latent)."""
+    sh, sw = src_hw
+    dh, dw = dst_hw
+    if (sh, sw) == (dh, dw):
+        return c
+    f = LATENT_TO_PIXEL
+
+    def rs(leaf):
+        if leaf.ndim == 4 and leaf.shape[2:] == (sh, sw) and leaf.shape[1] > 0:
+            return resize_nchw(leaf, (dh, dw), "linear")
+        if leaf.ndim == 4 and leaf.shape[2:] == (sh * f, sw * f) and leaf.shape[1] > 0:
+            return resize_nchw(leaf, (dh * f, dw * f), "linear")
+        return leaf
+
+    return _map_cond(c, rs)
+
+
+# ------------------------------------------------------------- denoiser
+
+
 def make_demofusion_denoiser(
     plan: DemoFusionPhasePlan,
     cfg: DemoFusionConfig,
-    guided: Callable[[jnp.ndarray, jnp.ndarray, int], jnp.ndarray],
+    guided: Callable,
+    cond,
+    uncond,
     lat0: jnp.ndarray,
     noise: jnp.ndarray,
     t_enc: int,
+    jitter: jnp.ndarray,                # [n_windows, 2] traced offsets
 ):
     """denoised_fn(x, sigma, step) for one DemoFusion phase.
 
-    ``guided(x_views, sigma, n_views)`` is the CFG'd denoiser on a stacked
-    view batch (cond repeated per view by the caller).
+    ``guided(x, sigma, c, u)`` is the pipeline's CFG'd denoiser
+    (DiffusionPipeline._make_guided); ``cond``/``uncond`` may be plain
+    pytrees, scheduled banks, or AND compositions.
     """
+    from ..pipeline import DiffusionPipeline
+
     s = plan.scale
     jr = plan.jitter
+    tile = plan.tile
+    hw = (plan.h, plan.w)
+    cond_f = DiffusionPipeline._as_cond_fn(cond)
+    uncond_f = DiffusionPipeline._as_cond_fn(uncond) if uncond is not None else None
+    # padded-coord window bases; the traced jitter is added per step
+    bases = np.array([[b.y + jr, b.x + jr] for b in plan.windows], np.int32)
 
     def denoised_fn(x, sigma, step):
         B, C, H, W = x.shape
@@ -125,18 +265,31 @@ def make_demofusion_denoiser(
         x = x * (1.0 - c1) + x_noisy * c1
 
         xp = jnp.pad(x, ((0, 0), (0, 0), (jr, jr), (jr, jr)))
+        offs = jnp.asarray(bases) + jitter          # [n, 2] traced
+
+        c_step = cond_f(step)
+        u_step = uncond_f(step) if uncond_f is not None else None
+        c_padded = _pad_spatial(c_step, jr, hw)
+        u_padded = _pad_spatial(u_step, jr, hw)
 
         # ---- local windows: uniform average fusion (ref :251-264)
         buf = jnp.zeros_like(xp)
         cnt = jnp.zeros((1, 1, H + 2 * jr, W + 2 * jr), jnp.float32)
-        for bboxes in plan.window_batches:
-            tiles = jnp.concatenate(
-                [xp[:, :, b.y:b.y + b.h, b.x:b.x + b.w] for b in bboxes], axis=0)
-            out = guided(tiles, sigma, len(bboxes))
-            out = out.reshape(len(bboxes), B, C, bboxes[0].h, bboxes[0].w)
-            for k, b in enumerate(bboxes):
-                buf = buf.at[:, :, b.y:b.y + b.h, b.x:b.x + b.w].add(out[k])
-                cnt = cnt.at[:, :, b.y:b.y + b.h, b.x:b.x + b.w].add(1.0)
+        one = jnp.ones((1, 1, tile, tile), jnp.float32)
+        for idx_batch in plan.window_batches:
+            woffs = [(offs[i, 0], offs[i, 1]) for i in idx_batch]
+            tiles = jnp.concatenate([
+                jax.lax.dynamic_slice(xp, (0, 0, oy, ox), (B, C, tile, tile))
+                for oy, ox in woffs], axis=0)
+            cw = _window_cond(c_padded, woffs, tile, hw, jr)
+            uw = _window_cond(u_padded, woffs, tile, hw, jr)
+            out = guided(tiles, sigma, cw, uw)
+            out = out.reshape(len(idx_batch), B, C, tile, tile)
+            for k, (oy, ox) in enumerate(woffs):
+                cur = jax.lax.dynamic_slice(buf, (0, 0, oy, ox), (B, C, tile, tile))
+                buf = jax.lax.dynamic_update_slice(buf, cur + out[k], (0, 0, oy, ox))
+                cc = jax.lax.dynamic_slice(cnt, (0, 0, oy, ox), (1, 1, tile, tile))
+                cnt = jax.lax.dynamic_update_slice(cnt, cc + one, (0, 0, oy, ox))
         cnt = jnp.where(cnt == 0, 1.0, cnt)          # jitter can leave gaps (ref :262)
         x_local = (buf / cnt)[:, :, jr:jr + H, jr:jr + W]
 
@@ -146,13 +299,11 @@ def make_demofusion_denoiser(
         if cfg.gaussian_filter:
             xg = gaussian_blur_nchw(x, 2 * s - 1, cfg.sigma * c3)
             xg = (xg - jnp.mean(xg)) / jnp.std(xg) * std_ + mean_
-            xgp = jnp.pad(xg, ((0, 0), (0, 0), (jr, jr), (jr, jr)))
         else:
-            xgp = xp
+            xg = x
 
         n_total = len(plan.global_offsets)
         x_global = jnp.zeros_like(x)
-        end_h, end_w = H + jr, W + jr
         seen = 0
         for batch in plan.global_batches:
             views = []
@@ -160,10 +311,12 @@ def make_demofusion_denoiser(
                 # mixture mode: first half of the doubled offset list uses the
                 # unblurred input, second half the blurred one (ref :283-304)
                 use_plain = cfg.mixture and (seen + idx_in_batch) < n_total // 2
-                src = xp if use_plain else xgp
-                views.append(src[:, :, jr + oy:end_h:s, jr + ox:end_w:s])
+                src = x if use_plain else xg
+                views.append(src[:, :, oy::s, ox::s])
             flat = jnp.concatenate(views, axis=0)
-            out = guided(flat, sigma, len(batch))
+            cg = _dilated_cond(c_step, batch, s, hw)
+            ug = _dilated_cond(u_step, batch, s, hw)
+            out = guided(flat, sigma, cg, ug)
             out = out.reshape(len(batch), B, C, out.shape[-2], out.shape[-1])
             for k, (oy, ox) in enumerate(batch):
                 x_global = x_global.at[:, :, oy::s, ox::s].add(out[k])
@@ -196,22 +349,13 @@ def demofusion_generate(
     phase bicubic-upscales, re-noises via the truncated schedule, runs the
     DemoFusion denoiser, and re-anchors mean/std.  Returns every phase's
     latent (ref emits all intermediate scales, tileglobal.py:240-253).
+    Per-phase executables are cached in the pipeline's jit cache (keyed on
+    static geometry; jitter is a traced argument), so repeated calls skip
+    recompilation.
     """
     from ..pipeline import GenerationResult   # cycle-free at call time
 
     sp = sampler or SamplerConfig()
-    for c in (cond, uncond):
-        if isinstance(c, dict) and ("__bank__" in c or "__and__" in c):
-            raise ValueError(
-                "DemoFusion currently supports plain cond pytrees "
-                "(no prompt scheduling / AND composition)")
-        if isinstance(c, dict) and c.get("concat") is not None \
-                and getattr(c["concat"], "ndim", 0) == 4 \
-                and c["concat"].shape[-1] > 1:
-            raise ValueError(
-                "DemoFusion does not support spatial image conditioning "
-                "(inpaint-model concat) yet — views would need per-window "
-                "slicing of the cond leaf")
     h0, w0 = height // 8, width // 8
     key = jax.random.PRNGKey(seed)
 
@@ -233,7 +377,11 @@ def demofusion_generate(
             break                      # cooperative interruption between phases
         H, W = h0 * scale, w0 * scale
         lat0 = resize_nchw(latents, (H, W), "cubic")
-        plan = plan_demofusion_phase(H, W, scale, cfg, rng)
+        plan = plan_demofusion_phase(H, W, scale, cfg)
+        jitter = jnp.asarray(draw_jitter(plan, rng))
+        c_phase = resize_spatial_conds(cond, (h0, w0), (H, W))
+        u_phase = resize_spatial_conds(uncond, (h0, w0), (H, W)) \
+            if uncond is not None else None
 
         strength = strengths[min(phase_i, len(strengths) - 1)]
         steps, t_enc = pipe.schedule.img2img_steps(sp.steps, strength)
@@ -246,16 +394,33 @@ def demofusion_generate(
         x = lat0 + noise * sigmas[0]
         sampler_fn = get_sampler(sp.name)
 
-        def run(uparams, x, lat0, noise):
-            guided = _make_view_guided(pipe, cond, uncond, sp.cfg_scale, uparams)
-            # per-step cooperative interruption, same as the tiled pipeline
-            den_fn = pipe._interruptible(
-                make_demofusion_denoiser(plan, cfg, guided, lat0, noise, t_enc))
-            if sp.name in STOCHASTIC_SAMPLERS:
-                return sampler_fn(den_fn, x, sigmas, jax.random.fold_in(pkey, 1))
-            return sampler_fn(den_fn, x, sigmas)
+        def builder(plan=plan, t_enc=t_enc, sampler_fn=sampler_fn):
+            def run(uparams, c, u, sigmas, x, lat0, noise, jitter, skey):
+                guided, _ = pipe._make_guided(sp.cfg_scale, uparams)
+                # per-step cooperative interruption, same as the tiled pipeline
+                den_fn = pipe._interruptible(make_demofusion_denoiser(
+                    plan, cfg, guided, c, u, lat0, noise, t_enc, jitter))
+                if sp.name in STOCHASTIC_SAMPLERS:
+                    return sampler_fn(den_fn, x, sigmas, skey)
+                return sampler_fn(den_fn, x, sigmas)
 
-        latents = jax.jit(run)(pipe.unet_params, x, lat0, noise)
+            return run
+
+        skey = jax.random.fold_in(pkey, 1)
+        if pipe._cacheable(cond, uncond):
+            jkey = ("demofusion", plan.cache_key(), t_enc, int(sigmas.shape[0]),
+                    sp.name, sp.cfg_scale, uncond is None,
+                    cfg.cosine_scale_1, cfg.cosine_scale_2, cfg.cosine_scale_3,
+                    cfg.sigma, cfg.gaussian_filter, cfg.mixture)
+            runner = pipe._cached_jit(jkey, builder)
+            latents = runner(pipe.unet_params, c_phase, u_phase, sigmas, x,
+                             lat0, noise, jitter, skey)
+        else:
+            run = builder()
+            latents = jax.jit(
+                lambda up, sg, xx, l0, nz, jt, sk: run(up, c_phase, u_phase,
+                                                       sg, xx, l0, nz, jt, sk)
+            )(pipe.unet_params, sigmas, x, lat0, noise, jitter, skey)
 
         latents = (latents - jnp.mean(latents)) / jnp.std(latents) * anchor_std + anchor_mean
         phases.append(latents)
@@ -269,28 +434,3 @@ def demofusion_generate(
                                             "Window size": cfg.window_size,
                                             "Overlap": cfg.overlap,
                                             "Mixture": cfg.mixture}})
-
-
-def _make_view_guided(pipe, cond, uncond, cfg_scale, unet_params=None):
-    """CFG'd denoiser over a stacked view batch with repeated conds."""
-    from ..samplers.denoiser import cfg_combine, denoised_from_model
-    from .conds import concat_conds, tile_cond
-
-    den = denoised_from_model(pipe._model_fn(unet_params), pipe.schedule)
-
-    def rep(c, n):
-        return jax.tree.map(lambda l: jnp.concatenate([l] * n, axis=0), c)
-
-    def guided(views, sigma, n_views):
-        B = views.shape[0]
-        s = jnp.broadcast_to(jnp.atleast_1d(sigma), (B,))
-        c = rep(cond, n_views)
-        if uncond is None or cfg_scale == 1.0:
-            return den(views, s, c)
-        u = rep(uncond, n_views)
-        x2 = jnp.concatenate([views, views], axis=0)
-        d = den(x2, jnp.concatenate([s, s]), concat_conds(u, c))
-        du, dc = jnp.split(d, 2, axis=0)
-        return cfg_combine(du, dc, cfg_scale)
-
-    return guided
