@@ -1,4 +1,5 @@
 from .controlnet import ControlNet
+from .stablesr import StableSRGuidance, combine_residuals
 from .esrgan import RRDBNet, RRDBNetConfig, load_esrgan, register_esrgan_upscaler
 from .init_utils import random_params
 from .loader import (
@@ -30,7 +31,7 @@ from .unet import (
 from .vae import AutoencoderKL, Decoder, Encoder, VAEConfig, sample_from_moments, tiny_vae_config
 
 __all__ = [
-    "random_params", "ControlNet",
+    "random_params", "ControlNet", "StableSRGuidance", "combine_residuals",
     "RRDBNet", "RRDBNetConfig", "load_esrgan", "register_esrgan_upscaler",
     "convert_params", "load_pipeline", "load_safetensors",
     "translate_clip_name", "translate_controlnet_name", "translate_unet_name",
