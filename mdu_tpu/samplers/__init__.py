@@ -16,6 +16,9 @@ from .samplers import (
     sample_euler_ancestral,
     sample_heun,
     sample_dpmpp_2s_ancestral,
+    sample_dpm2,
+    sample_dpm2_ancestral,
+    sample_dpmpp_sde,
     sample_lms,
 )
 from .schedule import NoiseSchedule, ddim_timesteps, sigmas_karras
@@ -26,5 +29,6 @@ __all__ = [
     "SAMPLERS", "STOCHASTIC_SAMPLERS", "get_sampler", "sample_ddim",
     "sample_dpmpp_2m", "sample_euler", "sample_euler_ancestral", "sample_heun",
     "sample_lms", "sample_dpmpp_2s_ancestral",
+    "sample_dpm2", "sample_dpm2_ancestral", "sample_dpmpp_sde",
     "NoiseSchedule", "ddim_timesteps", "sigmas_karras",
 ]

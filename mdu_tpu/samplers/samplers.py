@@ -274,18 +274,146 @@ def sample_dpmpp_2s_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
     return x
 
 
+def _ancestral_step(s, sn, eta=1.0):
+    """k-diffusion get_ancestral_step: split sigma_next into a deterministic
+    sigma_down and an injected-noise sigma_up."""
+    up = jnp.minimum(sn, eta * jnp.sqrt(jnp.maximum(sn**2 * (s**2 - sn**2) / s**2, 0.0)))
+    down = jnp.sqrt(jnp.maximum(sn**2 - up**2, 0.0))
+    return down, up
+
+
+def sample_dpm2(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
+                key: Optional[jax.Array] = None,
+                s_churn: float = 0.0, s_tmin: float = 0.0,
+                s_tmax: float = float("inf"), s_noise: float = 1.0,
+                step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+    """DPM-Solver-2 (k-diffusion sample_dpm_2): midpoint step at the
+    geometric-mean sigma; two model evaluations per step."""
+    sig, sig_next = _to_sigma_pairs(sigmas)
+    n = sig.shape[0]
+    use_churn = s_churn > 0 and key is not None
+
+    def body(x, inp):
+        i, s, sn = inp
+        if use_churn:
+            x, s = _churn(x, s, i, key, n, s_churn, s_tmin, s_tmax, s_noise)
+        den = denoised_fn(x, s, i)
+        d = (x - den) / s
+
+        def midpoint(_):
+            s_mid = jnp.exp(0.5 * (jnp.log(s) + jnp.log(jnp.maximum(sn, 1e-10))))
+            x_2 = x + d * (s_mid - s)
+            den_2 = denoised_fn(x_2, s_mid, i)
+            d_2 = (x_2 - den_2) / s_mid
+            return x + d_2 * (sn - s)
+
+        x = jax.lax.cond(sn > 0, midpoint, lambda _: x + d * (sn - s), None)
+        _notify(step_callback, i, x)
+        return x, None
+
+    steps = jnp.arange(n)
+    x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))
+    return x
+
+
+def sample_dpm2_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
+                          sigmas: jnp.ndarray, key: jax.Array, eta: float = 1.0,
+                          step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+    """DPM-Solver-2 ancestral (k-diffusion sample_dpm_2_ancestral)."""
+    sig, sig_next = _to_sigma_pairs(sigmas)
+
+    def body(carry, inp):
+        x, k = carry
+        i, s, sn = inp
+        den = denoised_fn(x, s, i)
+        down, up = _ancestral_step(s, sn, eta)
+        d = (x - den) / s
+
+        def midpoint(_):
+            s_mid = jnp.exp(0.5 * (jnp.log(s) + jnp.log(jnp.maximum(down, 1e-10))))
+            x_2 = x + d * (s_mid - s)
+            den_2 = denoised_fn(x_2, s_mid, i)
+            d_2 = (x_2 - den_2) / s_mid
+            return x + d_2 * (down - s)
+
+        x = jax.lax.cond(down > 0, midpoint, lambda _: x + d * (down - s), None)
+        k, sub = jax.random.split(k)
+        x = x + jax.random.normal(sub, x.shape, x.dtype) * up
+        _notify(step_callback, i, x)
+        return (x, k), None
+
+    steps = jnp.arange(sig.shape[0])
+    (x, _), _ = jax.lax.scan(body, (x, key), (steps, sig, sig_next))
+    return x
+
+
+def sample_dpmpp_sde(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
+                     sigmas: jnp.ndarray, key: jax.Array, eta: float = 1.0,
+                     s_noise: float = 1.0, r: float = 0.5,
+                     step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+    """DPM-Solver++ SDE (k-diffusion sample_dpmpp_sde formulation): two model
+    evaluations per step with ancestral noise at the midpoint and endpoint.
+    Uses per-step fold_in gaussian noise rather than k-diffusion's Brownian
+    tree sampler (A1111 also exposes the plain-noise variant)."""
+    sig, sig_next = _to_sigma_pairs(sigmas)
+
+    def t_of(s):
+        return -jnp.log(jnp.maximum(s, 1e-10))
+
+    def body(carry, inp):
+        x, k = carry
+        i, s, sn = inp
+        den = denoised_fn(x, s, i)
+
+        def last(_k):
+            d = (x - den) / s
+            return x + d * (sn - s)
+
+        def sde_step(k):
+            t, t_next = t_of(s), t_of(sn)
+            h = t_next - t
+            s_mid = jnp.exp(-(t + h * r))
+            fac = 1.0 / (2.0 * r)
+
+            k, k1, k2 = jax.random.split(k, 3)
+            # step 1: to the (ancestrally split) midpoint
+            sd1, su1 = _ancestral_step(s, s_mid, eta)
+            t_mid_d = t_of(sd1)
+            x_2 = (sd1 / s) * x - jnp.expm1(t - t_mid_d) * den
+            x_2 = x_2 + jax.random.normal(k1, x.shape, x.dtype) * s_noise * su1
+            den_2 = denoised_fn(x_2, s_mid, i)
+            # step 2: to the (ancestrally split) endpoint
+            sd2, su2 = _ancestral_step(s, sn, eta)
+            t_next_d = t_of(sd2)
+            den_d = (1.0 - fac) * den + fac * den_2
+            x_out = (sd2 / s) * x - jnp.expm1(t - t_next_d) * den_d
+            return x_out + jax.random.normal(k2, x.shape, x.dtype) * s_noise * su2
+
+        k, sub = jax.random.split(k)
+        x = jax.lax.cond(sn > 0, sde_step, last, sub)
+        _notify(step_callback, i, x)
+        return (x, k), None
+
+    steps = jnp.arange(sig.shape[0])
+    (x, _), _ = jax.lax.scan(body, (x, key), (steps, sig, sig_next))
+    return x
+
+
 SAMPLERS = {
     "Euler": sample_euler,
     "Euler a": sample_euler_ancestral,
     "Heun": sample_heun,
+    "DPM2": sample_dpm2,
+    "DPM2 a": sample_dpm2_ancestral,
     "DPM++ 2M": sample_dpmpp_2m,
     "DPM++ 2S a": sample_dpmpp_2s_ancestral,
+    "DPM++ SDE": sample_dpmpp_sde,
     "DDIM": sample_ddim,
     "LMS": sample_lms,
 }
 
 # samplers whose updates need fresh noise each step
-STOCHASTIC_SAMPLERS = {"Euler a", "DPM++ 2S a"}
+STOCHASTIC_SAMPLERS = {"Euler a", "DPM++ 2S a", "DPM2 a", "DPM++ SDE"}
 
 
 def get_sampler(name: str):
