@@ -1,15 +1,24 @@
-"""Benchmark: SD-1.5 MultiDiffusion txt2img 2048x512 panorama, 20 steps
-(BASELINE.md config 2) + tiled VAE decode, on one TPU chip, bf16.
+"""Benchmarks on one TPU chip, bf16 (BASELINE.md configs):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  1. SD-1.5 tiled-VAE encode+decode of a 2048x2048 image (Mpix/s)
+  2. SD-1.5 MultiDiffusion txt2img 2048x512 panorama, 20 steps  [PRIMARY]
+  3. SD-1.5 Mixture-of-Diffusers img2img x4 upscale (512->2048) with
+     gaussian blending + tiled noise inversion
+
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline",
+"secondary": {...}}.  Hardened against the flaky remote-TPU tunnel: probe
+retries, bounded per-phase budgets, and a partial result is always emitted
+even when later configs fail (round-1 postmortem: a dead tunnel produced
+no JSON at all).
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6).
-Baseline estimate for the same workload on the reference stack (A1111 +
+Baseline estimate for config 2 on the reference stack (A1111 +
 MultiDiffusion extension, A100 80GB, xformers, fp16): ~10 s/image => 6
 images/min — from the reference's own telemetry format (tilevae.py:264-284)
 applied to community-reported panorama timings.  vs_baseline = ours / 6.
 """
 import json
+import os
 import sys
 import time
 
@@ -20,50 +29,79 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/mdu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 BASELINE_IMG_PER_MIN = 6.0
+BUDGET = int(os.environ.get("MDU_BENCH_BUDGET_SECS", "2700"))
+START = time.time()
+RESULT = {"metric": "sd15_multidiffusion_txt2img_2048x512_20steps",
+          "value": 0.0, "unit": "images/min/chip", "vs_baseline": 0.0,
+          "secondary": {}}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _watchdog(seconds=None):
-    """Exit(1) if the device never comes up (dead tunnel) — a clear failure
-    beats an infinite hang for the round driver."""
-    import os
+def emit_and_exit(code=0):
+    print(json.dumps(RESULT), flush=True)
+    sys.exit(code)
+
+
+def probe_device(seconds=120):
+    """True if the device answers within ``seconds`` (dead-tunnel detector)."""
     import threading
 
-    if seconds is None:
-        seconds = int(os.environ.get("BENCH_WATCHDOG_SECS", "1200"))
     state = {"alive": False}
 
     def probe():
-        jnp.ones((8, 8)).block_until_ready()
-        state["alive"] = True
+        try:
+            jnp.ones((8, 8)).block_until_ready()
+            state["alive"] = True
+        except Exception as e:          # noqa: BLE001
+            log("probe error:", e)
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(seconds)
-    if not state["alive"]:
-        log(f"bench watchdog: device unreachable after {seconds}s — aborting")
-        os._exit(1)
+    return state["alive"]
 
 
-def main():
-    from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
+def wait_for_device():
+    deadline = int(os.environ.get("BENCH_WATCHDOG_SECS", "1200"))
+    waited = 0
+    while waited < deadline:
+        if probe_device(120):
+            return True
+        waited += 120
+        log(f"device probe failed; retrying ({waited}s/{deadline}s)")
+    log(f"bench watchdog: device unreachable after {deadline}s")
+    RESULT["error"] = f"device unreachable after {deadline}s"
+    emit_and_exit(0)   # partial JSON beats rc=1 with no output
+
+
+def budget_left():
+    return BUDGET - (time.time() - START)
+
+
+def retry(fn, what, tries=2):
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as e:          # noqa: BLE001
+            log(f"{what} attempt {i + 1}/{tries} failed: {e!r}")
+            if i + 1 == tries or not probe_device(120):
+                raise
+    return None
+
+
+def build_models():
     from mdu_tpu.models import (
         AutoencoderKL, UNet2DCondition, VAEConfig, random_params, sd15_unet_config,
     )
     from mdu_tpu.pipeline import DiffusionPipeline
 
-    _watchdog()
-    dev = jax.devices()[0]
-    log(f"bench device: {dev}")
     dtype = jnp.bfloat16
-
     ucfg = sd15_unet_config()
     unet = UNet2DCondition(ucfg, dtype=dtype)
-    vcfg = VAEConfig()
-    vae = AutoencoderKL(vcfg, dtype=dtype)
+    vae = AutoencoderKL(VAEConfig(), dtype=dtype)
 
     t0 = time.time()
     up = random_params(unet, 0, jnp.zeros((1, 4, 8, 8)), jnp.zeros((1,)),
@@ -72,10 +110,52 @@ def main():
     vp = random_params(vae, 1, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
     vp = jax.tree.map(lambda a: a.astype(dtype), vp)
     log(f"params built in {time.time()-t0:.1f}s")
-
     pipe = DiffusionPipeline(unet, up, vae, vp)
     cond = {"crossattn": jax.random.normal(jax.random.PRNGKey(2), (1, 77, 768), dtype) * 0.1}
     uncond = {"crossattn": jax.random.normal(jax.random.PRNGKey(3), (1, 77, 768), dtype) * 0.1}
+    return pipe, cond, uncond
+
+
+def bench_vae(pipe):
+    """Config 1: tiled-VAE encode+decode of 2048x2048 (Mpix/s each)."""
+    import numpy as np
+
+    from mdu_tpu.config import TiledVAEConfig
+    from mdu_tpu.models.vae import sample_from_moments
+
+    tv = TiledVAEConfig(encoder_tile_size=1536, decoder_tile_size=96,
+                        fast_decoder=False, fast_encoder=False)
+    img = (np.random.default_rng(0).random((2048, 2048, 3)) * 255).astype(np.uint8)
+    from mdu_tpu.utils.image import image_to_tensor
+
+    x = image_to_tensor(img)
+    t0 = time.time()
+    moments = pipe._encode(x, tv)
+    jax.block_until_ready(moments)
+    log(f"vae encode compile+1st: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    n = 3
+    for _ in range(n):
+        moments = pipe._encode(x, tv)
+    jax.block_until_ready(moments)
+    enc = 2048 * 2048 / 1e6 / ((time.time() - t0) / n)
+
+    z = sample_from_moments(moments, jax.random.PRNGKey(0)) * pipe.vae.cfg.scaling_factor
+    t0 = time.time()
+    out = pipe._decode(z, tv)
+    log(f"vae decode compile+1st: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(n):
+        out = pipe._decode(z, tv)
+    dec = out.shape[1] * out.shape[2] / 1e6 / ((time.time() - t0) / n)
+    RESULT["secondary"]["tiled_vae_encode_2048sq_mpix_s"] = round(enc, 2)
+    RESULT["secondary"]["tiled_vae_decode_2048sq_mpix_s"] = round(dec, 2)
+    log(f"config 1: encode {enc:.2f} Mpix/s, decode {dec:.2f} Mpix/s")
+
+
+def bench_panorama(pipe, cond, uncond):
+    """Config 2 (PRIMARY): MultiDiffusion txt2img 2048x512, 20 steps."""
+    from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
 
     td = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=96, tile_h=96,
                               overlap=48, tile_bs=8)
@@ -87,7 +167,7 @@ def main():
                             seed=seed, tiled_diffusion=td, tiled_vae=tv)
 
     t0 = time.time()
-    res = run(0)                      # compile + first image
+    res = retry(lambda: run(0), "panorama compile")
     log(f"first image (incl. compile): {time.time()-t0:.1f}s, out {res.images.shape}")
 
     n = 3
@@ -96,28 +176,71 @@ def main():
         res = run(i)
     dt = (time.time() - t0) / n
     img_per_min = 60.0 / dt
-    log(f"steady-state: {dt:.2f}s/image")
+    log(f"config 2 steady-state: {dt:.2f}s/image = {img_per_min:.2f} img/min")
+    RESULT["value"] = round(img_per_min, 3)
+    RESULT["vs_baseline"] = round(img_per_min / BASELINE_IMG_PER_MIN, 3)
 
-    # secondary metric: tiled-VAE decode throughput (stderr only)
+
+def bench_mod_upscale(pipe, cond, uncond):
+    """Config 3: MoD img2img x4 (512->2048) + tiled noise inversion."""
+    import numpy as np
+
+    from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
+
+    td = TiledDiffusionConfig(method=Method.MIX_DIFF, tile_w=96, tile_h=96,
+                              overlap=8, tile_bs=8, upscaler="Lanczos",
+                              scale_factor=4.0, noise_inverse=True,
+                              noise_inverse_steps=10,
+                              noise_inverse_renoise_strength=1.0)
+    tv = TiledVAEConfig(encoder_tile_size=1536, decoder_tile_size=96,
+                        fast_decoder=False, fast_encoder=False)
+    sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
+                       denoising_strength=0.4)
+    img = (np.random.default_rng(1).random((512, 512, 3)) * 255).astype(np.uint8)
+
+    def run(seed):
+        pipe.free_cache()             # measure the full inversion each run
+        return pipe.img2img(img, cond, uncond, sampler=sp, seed=seed,
+                            tiled_diffusion=td, tiled_vae=tv)
+
+    t0 = time.time()
+    res = retry(lambda: run(0), "mod-upscale compile")
+    log(f"config 3 first (incl. compile): {time.time()-t0:.1f}s, out {res.images.shape}")
+    n = 2
+    t0 = time.time()
+    for i in range(1, n + 1):
+        res = run(i)
+    dt = (time.time() - t0) / n
+    RESULT["secondary"]["mod_x4_noiseinv_img_per_min"] = round(60.0 / dt, 3)
+    log(f"config 3 steady-state: {dt:.2f}s/image")
+
+
+def main():
+    wait_for_device()
+    log(f"bench device: {jax.devices()[0]}")
     try:
-        z = res.latents
-        img = pipe._decode(z, tv)
-        t0 = time.time()
-        for _ in range(3):
-            img = pipe._decode(z, tv)
-        ddt = (time.time() - t0) / 3
-        mpix = img.shape[1] * img.shape[2] / 1e6
-        log(json.dumps({"metric": "tiled_vae_decode_2048x512",
-                        "value": round(mpix / ddt, 2), "unit": "Mpix/s"}))
-    except Exception as e:
-        log("vae secondary metric failed:", e)
+        pipe, cond, uncond = retry(build_models, "build models")
+    except Exception as e:              # noqa: BLE001
+        RESULT["error"] = f"model build failed: {e!r}"
+        emit_and_exit(0)
 
-    print(json.dumps({
-        "metric": "sd15_multidiffusion_txt2img_2048x512_20steps",
-        "value": round(img_per_min, 3),
-        "unit": "images/min/chip",
-        "vs_baseline": round(img_per_min / BASELINE_IMG_PER_MIN, 3),
-    }))
+    phases = [("config1-vae", lambda: bench_vae(pipe)),
+              ("config2-panorama", lambda: bench_panorama(pipe, cond, uncond)),
+              ("config3-mod-upscale", lambda: bench_mod_upscale(pipe, cond, uncond))]
+    only = os.environ.get("MDU_BENCH_CONFIGS")      # e.g. "2" or "1,2"
+    for name, fn in phases:
+        if only and name.split("-")[0].lstrip("config") not in only.split(","):
+            continue
+        if budget_left() < 300:
+            log(f"skipping {name}: {budget_left():.0f}s budget left")
+            RESULT["secondary"][f"skipped_{name}"] = "budget"
+            continue
+        try:
+            retry(fn, name)
+        except Exception as e:          # noqa: BLE001
+            log(f"{name} FAILED: {e!r}")
+            RESULT["secondary"][f"error_{name}"] = repr(e)[:200]
+    emit_and_exit(0)
 
 
 if __name__ == "__main__":

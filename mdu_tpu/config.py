@@ -125,6 +125,15 @@ def regions_to_json(regions: List[RegionSpec]) -> str:
     return json.dumps(payload, indent=2)
 
 
+def regions_from_png_info(info: dict) -> List[RegionSpec]:
+    """Recover the region config — including *resolved* seeds — from a
+    generated PNG's 'parameters' metadata dict (the reference's seed
+    recovery, javascript/bboxHint.js:171-221 getSeedInfo).  ``info`` is the
+    parsed JSON the CLI embeds (cli._save / pipeline._info)."""
+    block = (info.get("Tiled Diffusion") or {}).get("Region control") or {}
+    return regions_from_json(json.dumps(block))
+
+
 def regions_from_json(text: str) -> List[RegionSpec]:
     payload = json.loads(text)
     out = []

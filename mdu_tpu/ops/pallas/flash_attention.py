@@ -9,6 +9,12 @@ fp32 accumulators on the MXU.
 Grid: (batch*heads, q_blocks, kv_blocks); the kv axis is innermost, so the
 running max / denominator / accumulator live in VMEM scratch across kv
 steps (the canonical TPU flash-attention accumulation pattern).
+
+Block sizes measured on v5e for the UNet level-0 self-attention shape
+[16, 8, 6144, 64] bf16 (scripts/ab_bench.py --kernels, 2026-08-16):
+  bq=256 bk=512  -> 30 TFLOP/s     bq=512 bk=512  -> 34 TFLOP/s
+  bq=512 bk=1024 -> 54 TFLOP/s     bq=256 bk=2048 -> 51 TFLOP/s
+Defaults use the measured best (512, 1024).
 """
 from __future__ import annotations
 
@@ -68,8 +74,8 @@ def _round_up(x: int, m: int) -> int:
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """softmax(q kᵀ scale) v for [B, H, L, D] inputs, O(block²) live memory."""

@@ -153,3 +153,39 @@ def test_streaming_bypass_small():
     params = random_params(vae, 0, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
     assert streaming_tiled_vae(vae, params, jnp.zeros((1, 4, 16, 16)),
                                "decoder", tile_size=96) is None
+
+
+def test_decode_nan_recovery_chain(vae_and_params):
+    """NaN decode -> fast-stats retry -> cheap latent approximation
+    (ref tilevae.py:500-503, 570-573, 625; VERDICT item 7)."""
+    from mdu_tpu.config import TiledVAEConfig
+    from mdu_tpu.models import UNet2DCondition, random_params as rp, tiny_unet_config
+    from mdu_tpu.pipeline import DiffusionPipeline
+
+    vae, params = vae_and_params
+    # poison every decoder conv bias -> decode is NaN in exact AND fast mode
+    poisoned = jax.tree.map(lambda a: a, params)
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(poisoned["params"], sep="/")
+    for k in flat:
+        if k.startswith("decoder/conv_out"):
+            flat[k] = jnp.full_like(flat[k], jnp.nan)
+    poisoned = {"params": traverse_util.unflatten_dict(flat, sep="/")}
+
+    ucfg = tiny_unet_config()
+    unet = UNet2DCondition(ucfg)
+    up = rp(unet, 0, jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
+            jnp.zeros((1, 7, ucfg.cross_attention_dim)))
+    pipe = DiffusionPipeline(unet, up, vae, poisoned)
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 24, 24)) * 0.2
+    tv = TiledVAEConfig(decoder_tile_size=16, fast_decoder=False)
+    img = pipe._decode(z, tv)
+    assert img.shape == (1, 192, 192, 3)
+    assert np.isfinite(img).all(), "cheap approximation must be finite"
+
+    # healthy params take the normal path and differ from the approximation
+    pipe_ok = DiffusionPipeline(unet, up, vae, params)
+    img_ok = pipe_ok._decode(z, tv)
+    assert np.isfinite(img_ok).all()
+    assert np.abs(img_ok.astype(int) - img.astype(int)).max() > 2
