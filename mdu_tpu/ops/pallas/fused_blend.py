@@ -52,7 +52,8 @@ def build_contributor_table(
 
 
 def _blend_kernel(idx_ref, offs_ref, tiles_hbm, weights_ref, out_ref,
-                  pad_ref, sem, *, th: int, tw: int, bh: int, bw: int, k_max: int):
+                  pad_ref, sem, *, th: int, tw: int, bh: int, bw: int,
+                  k_max: int, normalize: bool):
     bid = pl.program_id(0)
     C = out_ref.shape[0]
     acc = jnp.zeros((C, bh, bw), jnp.float32)
@@ -77,20 +78,31 @@ def _blend_kernel(idx_ref, offs_ref, tiles_hbm, weights_ref, out_ref,
         return jax.lax.cond(tid >= 0, add, lambda a: a, acc)
 
     acc = jax.lax.fori_loop(0, k_max, body, acc)
-    wgt = weights_ref[:]                       # [bh, bw]
-    out = jnp.where(wgt > 1.0, acc / wgt, acc)
-    out_ref[:] = out.astype(out_ref.dtype)
+    if normalize:
+        wgt = weights_ref[:]                   # [bh, bw]
+        acc = jnp.where(wgt > 1.0, acc / wgt, acc)
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "bboxes", "interpret"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "bboxes", "normalize",
+                                              "interpret"))
 def fused_tile_blend(
     tiles: jnp.ndarray,          # [T, C, th, tw] tile outputs
     weights: jnp.ndarray,        # [h, w] paint counts
     h: int, w: int,
     bboxes: Tuple[BBox, ...],
+    normalize: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """MultiDiffusion fusion: sum overlapping tiles, divide where count > 1.
+    """Tile fusion in one gather pass.
+
+    ``normalize=True``  — MultiDiffusion: sum overlapping tiles, divide
+                          where count > 1 (ref multidiffusion.py:208).
+    ``normalize=False`` — raw scatter-add sum: Mixture-of-Diffusers tiles
+                          arrive pre-multiplied by gaussian x 1/sum-weights
+                          maps (ref mixtureofdiffusers.py:125-126), and
+                          MD-with-regions defers the divide until region
+                          contributions are added.
 
     Returns the fused canvas [C, h, w].  Canvas block size == tile size so
     the padded staging window (dy, dx in (-th, bh)) always stays in bounds.
@@ -121,7 +133,8 @@ def fused_tile_blend(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_blend_kernel, th=th, tw=tw, bh=bh, bw=bw, k_max=k_max),
+        functools.partial(_blend_kernel, th=th, tw=tw, bh=bh, bw=bw,
+                          k_max=k_max, normalize=normalize),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, hp, wp), tiles.dtype),
         interpret=interpret,

@@ -54,7 +54,11 @@ def host_callbacks_supported() -> bool:
     if v is not None:
         return v == "1"
     try:
-        return jax.devices()[0].platform != "axon"
+        d = jax.devices()[0]
+        # the tunneled plugin reports platform 'tpu' but identifies itself
+        # in platform_version ("PJRT C API\naxon 0.1.0; ...")
+        ver = getattr(d.client, "platform_version", "") or ""
+        return d.platform != "axon" and "axon" not in ver
     except Exception:        # noqa: BLE001
         return True
 

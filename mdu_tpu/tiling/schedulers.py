@@ -153,18 +153,24 @@ def plan_tiled_diffusion(
         region_weights=tuple(region_weights))
 
 
-def _use_fused_blend() -> bool:
-    """Opt-in Pallas fused tile blend (MDU_FUSED_BLEND=1, TPU only)."""
+def _use_fused_blend():
+    """Pallas fused tile blend dispatch -> (enabled, interpret).
+
+    MDU_FUSED_BLEND=1 (default) enables it on TPU; =0 disables;
+    =interp forces interpret mode on any backend (CI parity tests)."""
     import os
 
-    if os.environ.get("MDU_FUSED_BLEND") != "1":
-        return False
+    v = os.environ.get("MDU_FUSED_BLEND", "1")
+    if v == "interp":
+        return True, True
+    if v != "1":
+        return False, False
     try:
         import jax
 
-        return jax.devices()[0].platform in ("tpu", "axon")
+        return jax.devices()[0].platform in ("tpu", "axon"), False
     except Exception:
-        return False
+        return False, False
 
 
 def make_tiled_denoiser(
@@ -237,8 +243,8 @@ def make_tiled_denoiser(
             return org_fn(x, sigma, step)
 
         buf = jnp.zeros_like(x)
-        fused_grid = (not is_mod and not plan.regions and plan.draw_background
-                      and not use_sharded and _use_fused_blend())
+        fused_on, fused_interp = _use_fused_blend()
+        fused_grid = plan.draw_background and not use_sharded and fused_on
 
         if use_sharded:
             buf = sharded_grid(x, sigma, step)
@@ -266,11 +272,16 @@ def make_tiled_denoiser(
                 from ..ops.pallas import fused_tile_blend
 
                 stacked = jnp.concatenate(all_out, axis=0)   # [T, B, C, th, tw]
+                if is_mod:
+                    # MoD tiles carry gaussian x 1/sum-weights maps
+                    stacked = stacked * jnp.asarray(ptw_np)[:, None, None]
                 T = stacked.shape[0]
                 folded = stacked.reshape(T, B * C, plan.tile_h, plan.tile_w)
-                fused = fused_tile_blend(folded, weights[0, 0], plan.h, plan.w,
-                                         plan.bboxes)
-                return fused.reshape(B, C, plan.h, plan.w)
+                # raw sum only: MD's divide (and region adds) happen below
+                buf = fused_tile_blend(folded, weights[0, 0], plan.h, plan.w,
+                                       plan.bboxes, normalize=False,
+                                       interpret=fused_interp
+                                       ).reshape(B, C, plan.h, plan.w)
 
         feather_buf = feather_msk = feather_cnt = None
         for i, r in enumerate(plan.regions):

@@ -96,3 +96,40 @@ def test_fused_group_norm_bf16(rng):
     want = np.asarray(group_norm(x, 4, w, b)).astype(np.float32)
     got = np.asarray(fused_group_norm(x, 4, w, b, interpret=True)).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_fused_blend_integrated_parity(rng, monkeypatch):
+    """make_tiled_denoiser with the fused kernel (interpret mode) must equal
+    the plain scatter path for MD, MoD, and regions (VERDICT item 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdu_tpu.config import Method
+    from mdu_tpu.tiling.schedulers import make_tiled_denoiser, plan_tiled_diffusion
+    from mdu_tpu.utils.bbox import BlendMode, RegionSpec
+
+    def tile_denoise(flat, sigma, step, bboxes, batch_i):
+        return flat * 0.5 + sigma * 0.1
+
+    def region_denoise(xt, sigma, step, i):
+        return xt * (0.3 + 0.2 * i)
+
+    x = jnp.asarray(rng.normal(size=(1, 4, 32, 48)).astype(np.float32))
+    regions = (RegionSpec(0.0, 0.0, 0.5, 1.0, blend_mode=BlendMode.BACKGROUND),
+               RegionSpec(0.5, 0.0, 0.25, 0.5, blend_mode=BlendMode.FOREGROUND,
+                          feather_ratio=0.3))
+    for method in (Method.MULTI_DIFF, Method.MIX_DIFF):
+        for regs in ((), regions):
+            plan = plan_tiled_diffusion(method, 32, 48, tile_h=16, tile_w=16,
+                                        overlap=8, tile_bs=2, regions=regs)
+            monkeypatch.setenv("MDU_FUSED_BLEND", "0")
+            ref = make_tiled_denoiser(plan, tile_denoise,
+                                      region_denoise if regs else None)(
+                x, jnp.asarray(1.0), jnp.asarray(0))
+            monkeypatch.setenv("MDU_FUSED_BLEND", "interp")
+            got = make_tiled_denoiser(plan, tile_denoise,
+                                      region_denoise if regs else None)(
+                x, jnp.asarray(1.0), jnp.asarray(0))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"{method} regions={bool(regs)}")
