@@ -19,6 +19,8 @@ from .samplers import (
     sample_dpm2,
     sample_dpm2_ancestral,
     sample_dpmpp_sde,
+    sample_plms,
+    sample_restart,
     sample_lms,
 )
 from .schedule import NoiseSchedule, ddim_timesteps, sigmas_karras
@@ -30,5 +32,6 @@ __all__ = [
     "sample_dpmpp_2m", "sample_euler", "sample_euler_ancestral", "sample_heun",
     "sample_lms", "sample_dpmpp_2s_ancestral",
     "sample_dpm2", "sample_dpm2_ancestral", "sample_dpmpp_sde",
+    "sample_plms", "sample_restart",
     "NoiseSchedule", "ddim_timesteps", "sigmas_karras",
 ]

@@ -15,7 +15,7 @@ store_latent previews the reference relies on, SURVEY.md §5).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -399,6 +399,88 @@ def sample_dpmpp_sde(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
     return x
 
 
+def sample_plms(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
+                key: Optional[jax.Array] = None, order: int = 4,
+                step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+    """PLMS (CompVis pseudo linear multistep): Adams-Bashforth over eps
+    predictions on the uniform-timestep grid, primed with one midpoint-style
+    second evaluation on the first step (p_sample_plms semantics, expressed
+    in VE coordinates: den = x - sigma*eps, x' = den + sigma_next*eps')."""
+    sig, sig_next = _to_sigma_pairs(sigmas)
+
+    def body(carry, inp):
+        x, hist, count = carry            # hist [3, ...] newest first
+        i, s, sn = inp
+        eps = (x - denoised_fn(x, s, i)) / s
+
+        def primed(_):
+            # first step: DDIM to sn, re-evaluate, average (2nd-order start)
+            x1 = (x - s * eps) + sn * eps
+            eps2 = (x1 - denoised_fn(x1, jnp.maximum(sn, 1e-10), i)) \
+                / jnp.maximum(sn, 1e-10)
+            return (eps + eps2) / 2.0
+
+        def ab(_):
+            e1, e2, e3 = hist[0], hist[1], hist[2]
+            ab2 = (3 * eps - e1) / 2
+            ab3 = (23 * eps - 16 * e1 + 5 * e2) / 12
+            ab4 = (55 * eps - 59 * e1 + 37 * e2 - 9 * e3) / 24
+            return jax.lax.switch(jnp.clip(count, 1, 3) - 1,
+                                  [lambda: ab2, lambda: ab3, lambda: ab4])
+
+        eps_prime = jax.lax.cond(count == 0, primed, ab, None)
+        x = (x - s * eps) + sn * eps_prime
+        hist = jnp.roll(hist, 1, axis=0).at[0].set(eps)
+        _notify(step_callback, i, x)
+        return (x, hist, count + 1), None
+
+    steps = jnp.arange(sig.shape[0])
+    hist0 = jnp.zeros((3,) + x.shape, x.dtype)
+    (x, _, _), _ = jax.lax.scan(body, (x, hist0, jnp.int32(0)),
+                                (steps, sig, sig_next))
+    return x
+
+
+def sample_restart(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
+                   key: jax.Array, s_noise: float = 1.0,
+                   restart_info: Optional[Tuple[float, float, int, int]] = None,
+                   step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+    """Restart sampling (Xu et al. 2023; A1111 sd_samplers_extra 'Restart'):
+    Heun through the main schedule, then K restart cycles that re-noise from
+    sigma_min_r up to sigma_max_r and descend again over an exp-spaced
+    segment — trading extra NFEs for lower discretization error.
+
+    ``restart_info`` = (sigma_min_r, sigma_max_r, n_seg_steps, k_restarts);
+    the default mirrors A1111's {0.1: [10, 2]} heuristic."""
+    s_min_r, s_max_r, n_seg, k_restarts = restart_info or (0.1, 2.0, 10, 2)
+    lo = float(jnp.maximum(jnp.asarray(s_min_r), sigmas[-2]))
+
+    # main pass: Heun over sigmas down to the restart floor, then to 0 after
+    main_hi = sigmas[sigmas >= lo] if isinstance(sigmas, jnp.ndarray) else sigmas
+    # static split: find the boundary index host-side
+    import numpy as _np
+
+    sig_np = _np.asarray(sigmas)
+    cut = int(_np.searchsorted(-sig_np, -lo, side="right"))  # first idx < lo
+    cut = max(2, min(cut, len(sig_np) - 1))
+    upper = jnp.asarray(sig_np[:cut])
+    lower = jnp.concatenate([upper[-1:], jnp.asarray(sig_np[cut:])])
+
+    x = sample_heun(denoised_fn, x, upper, step_callback=step_callback)
+
+    # restart segment: exp-spaced sigmas from s_max_r down to the floor
+    seg = jnp.exp(jnp.linspace(jnp.log(s_max_r), jnp.log(float(sig_np[cut - 1])),
+                               n_seg))
+    for r in range(k_restarts):
+        sub = jax.random.fold_in(key, 1000 + r)
+        bump = jnp.sqrt(jnp.maximum(seg[0] ** 2 - seg[-1] ** 2, 0.0))
+        x = x + jax.random.normal(sub, x.shape, x.dtype) * s_noise * bump
+        x = sample_heun(denoised_fn, x, seg, step_callback=step_callback)
+
+    # finish the tail of the main schedule (down to 0)
+    return sample_heun(denoised_fn, x, lower, step_callback=step_callback)
+
+
 SAMPLERS = {
     "Euler": sample_euler,
     "Euler a": sample_euler_ancestral,
@@ -410,10 +492,12 @@ SAMPLERS = {
     "DPM++ SDE": sample_dpmpp_sde,
     "DDIM": sample_ddim,
     "LMS": sample_lms,
+    "PLMS": sample_plms,
+    "Restart": sample_restart,
 }
 
 # samplers whose updates need fresh noise each step
-STOCHASTIC_SAMPLERS = {"Euler a", "DPM++ 2S a", "DPM2 a", "DPM++ SDE"}
+STOCHASTIC_SAMPLERS = {"Euler a", "DPM++ 2S a", "DPM2 a", "DPM++ SDE", "Restart"}
 
 
 def get_sampler(name: str):

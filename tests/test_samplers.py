@@ -223,7 +223,7 @@ def test_ddim_eta_path():
     np.testing.assert_allclose(np.asarray(sto), 0.0, atol=1e-4)
 
 
-@pytest.mark.parametrize("sampler_name", ["DPM2", "DPM2 a", "DPM++ SDE"])
+@pytest.mark.parametrize("sampler_name", ["DPM2", "DPM2 a", "DPM++ SDE", "PLMS", "Restart"])
 def test_new_samplers_perfect_denoiser(sampler_name):
     """Oracle denoiser: deterministic DPM2 lands exactly on x0; the
     ancestral/SDE variants contract to x0 (noise scale -> 0 with sigma)."""
@@ -233,7 +233,7 @@ def test_new_samplers_perfect_denoiser(sampler_name):
     sig = jnp.asarray(NoiseSchedule().sampling_sigmas(12))
     noisy = x0 + jax.random.normal(jax.random.PRNGKey(1), x0.shape) * sig[0]
     fn = SAMPLERS[sampler_name]
-    if sampler_name == "DPM2":
+    if sampler_name in ("DPM2", "PLMS"):
         out = fn(lambda x, s, i: x0, noisy, sig)
     else:
         out = fn(lambda x, s, i: x0, noisy, sig, jax.random.PRNGKey(2))
