@@ -64,16 +64,19 @@ def _blend_kernel(idx_ref, offs_ref, tiles_hbm, weights_ref, out_ref,
         dx = offs_ref[bid, k, 1]
 
         def add(acc):
-            # stage the whole tile into the center of a zeroed padded buffer,
-            # then slice the window aligned with this canvas block
+            # stage the tile at the origin of a zeroed (th+bh, tw+bw) buffer,
+            # then CYCLICALLY rotate by the (dynamic) offset: out(i,j) <-
+            # tile[i-dy, j-dx], with out-of-tile positions wrapping into the
+            # zero margin.  Mosaic supports dynamic rotates; dynamic-start
+            # lane slices it does not.
             pad_ref[:] = jnp.zeros_like(pad_ref)
             cp = pltpu.make_async_copy(
-                tiles_hbm.at[tid], pad_ref.at[:, pl.ds(bh, th), pl.ds(bw, tw)], sem)
+                tiles_hbm.at[tid], pad_ref.at[:, pl.ds(0, th), pl.ds(0, tw)], sem)
             cp.start()
             cp.wait()
-            # out(i, j) <- tile[i - dy, j - dx]; tile lives at [bh:bh+th, bw:bw+tw]
-            win = pad_ref[:, pl.ds(bh - dy, bh), pl.ds(bw - dx, bw)]
-            return acc + win.astype(jnp.float32)
+            rolled = pltpu.roll(pltpu.roll(pad_ref[:], jnp.mod(dy, th + bh), 1),
+                                jnp.mod(dx, tw + bw), 2)
+            return acc + rolled[:, :bh, :bw].astype(jnp.float32)
 
         return jax.lax.cond(tid >= 0, add, lambda a: a, acc)
 
@@ -104,11 +107,14 @@ def fused_tile_blend(
                           MD-with-regions defers the divide until region
                           contributions are added.
 
-    Returns the fused canvas [C, h, w].  Canvas block size == tile size so
-    the padded staging window (dy, dx in (-th, bh)) always stays in bounds.
+    Returns the fused canvas [C, h, w].  Canvas blocks are the tile size
+    rounded up to Mosaic's (8, 128) tiling (the staging-window bounds hold
+    for any block >= 0: dy, dx in (-t, b) => slice start in [0, b+t]).
     """
     T, C, th, tw = tiles.shape
-    bh, bw = th, tw
+    # block dims must be multiples of (8, 128) for the TPU lowering
+    bh = -(-th // 8) * 8
+    bw = -(-tw // 128) * 128
     # pad the canvas to block multiples; weights pad with 1 (no divide)
     hp = -(-h // bh) * bh
     wp = -(-w // bw) * bw
@@ -128,7 +134,7 @@ def fused_tile_blend(
         out_specs=pl.BlockSpec((C, bh, bw),
                                lambda b, idx, offs: (0, b // nbx, b % nbx)),
         scratch_shapes=[
-            pltpu.VMEM((C, th + 2 * bh, tw + 2 * bw), tiles.dtype),
+            pltpu.VMEM((C, th + bh, tw + bw), tiles.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -156,11 +156,17 @@ def plan_tiled_diffusion(
 def _use_fused_blend():
     """Pallas fused tile blend dispatch -> (enabled, interpret).
 
-    MDU_FUSED_BLEND=1 (default) enables it on TPU; =0 disables;
-    =interp forces interpret mode on any backend (CI parity tests)."""
+    OFF by default after the on-chip A/B (v5e, 2026-08-16): XLA lowers the
+    static-offset scatter-add to 0.015 ms and the matching gather to
+    0.046 ms per step — 0.03% of the 174 ms panorama denoise step, already
+    at the bandwidth roofline.  The gather-formulated kernel cannot pay for
+    itself here (and its dynamic window alignment crashes the remote Mosaic
+    compiler); it remains available for experimentation.
+    MDU_FUSED_BLEND=1 enables on TPU; =interp forces interpret mode on any
+    backend (CI parity tests)."""
     import os
 
-    v = os.environ.get("MDU_FUSED_BLEND", "1")
+    v = os.environ.get("MDU_FUSED_BLEND", "0")
     if v == "interp":
         return True, True
     if v != "1":
