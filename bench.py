@@ -215,6 +215,86 @@ def bench_mod_upscale(pipe, cond, uncond):
     log(f"config 3 steady-state: {dt:.2f}s/image")
 
 
+def bench_regional(pipe, cond, uncond):
+    """Config 4: 4-region prompt control on 1536x1536 (regional conds ride
+    the same compiled program; measures the region-batch overhead)."""
+    from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
+    from mdu_tpu.utils.bbox import BlendMode, RegionSpec
+
+    regions = tuple(
+        RegionSpec(x, y, 0.5, 0.5, blend_mode=BlendMode.BACKGROUND)
+        for (x, y) in ((0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5)))
+    td = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=96, tile_h=96,
+                              overlap=48, tile_bs=8, regions=regions,
+                              draw_background=True)
+    tv = TiledVAEConfig(decoder_tile_size=96, fast_decoder=False, fast_encoder=False)
+    sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0)
+    rc = [(cond, uncond)] * 4
+
+    def run(seed):
+        return pipe.txt2img(cond, uncond, width=1536, height=1536, sampler=sp,
+                            seed=seed, tiled_diffusion=td, tiled_vae=tv,
+                            region_conds=rc)
+
+    t0 = time.time()
+    res = retry(lambda: run(0), "regional compile")
+    log(f"config 4 first (incl. compile): {time.time()-t0:.1f}s, out {res.images.shape}")
+    t0 = time.time()
+    res = run(1)
+    RESULT["secondary"]["regional_4x_1536sq_img_per_min"] = round(60.0 / (time.time() - t0), 3)
+
+
+def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
+    """Config 5: SDXL DemoFusion x3 with ControlNet tile on 3072x3072."""
+    import numpy as np
+
+    from mdu_tpu.config import DemoFusionConfig, SamplerConfig, TiledVAEConfig
+    from mdu_tpu.models import (AutoencoderKL, ControlNet, UNet2DCondition,
+                                VAEConfig, random_params, sdxl_unet_config)
+    from mdu_tpu.pipeline import DiffusionPipeline
+
+    dtype = jnp.bfloat16
+    ucfg = sdxl_unet_config()
+    unet = UNet2DCondition(ucfg, dtype=dtype)
+    vae = AutoencoderKL(VAEConfig(), dtype=dtype)
+    cn = ControlNet(ucfg, dtype=dtype)
+    added = {"text_embeds": jnp.zeros((1, ucfg.addition_pooled_dim)),
+             "time_ids": jnp.ones((1, 6))}
+    up = jax.tree.map(lambda a: a.astype(dtype), random_params(
+        unet, 0, jnp.zeros((1, 4, 8, 8)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, ucfg.cross_attention_dim)), added))
+    vp = jax.tree.map(lambda a: a.astype(dtype), random_params(
+        vae, 1, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0)))
+    cp = jax.tree.map(lambda a: a.astype(dtype), random_params(
+        cn, 2, jnp.zeros((1, 4, 8, 8)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+        jnp.zeros((1, 3, 64, 64)), added))
+    pipe = DiffusionPipeline(unet, up, vae, vp, controlnet=cn, controlnet_params=cp)
+
+    hint = jnp.zeros((1, 3, 1024 * 8 // 8 * 8, 1024), dtype)   # pixel hint @ base
+    cond = {"crossattn": jax.random.normal(jax.random.PRNGKey(2), (1, 77, 2048), dtype) * 0.1,
+            "vector": jnp.zeros((1, ucfg.addition_pooled_dim), dtype),
+            "control": [jnp.zeros((1, 3, 1024, 1024), dtype)]}
+    uncond = dict(cond, crossattn=jnp.zeros((1, 77, 2048), dtype))
+    del hint
+    cfg = DemoFusionConfig(window_size=128, overlap=64, scale_factor=3,
+                           tile_bs=4, tile_bs_g=4)
+    tv = TiledVAEConfig(decoder_tile_size=96, fast_decoder=False, fast_encoder=False)
+    sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
+                       denoising_strength=0.45)
+
+    t0 = time.time()
+    res = retry(lambda: pipe.demofusion(cond, uncond, 1024, 1024, cfg, sp,
+                                        seed=0, tiled_vae=tv, decode=False),
+                "sdxl-demofusion")
+    dt = time.time() - t0
+    log(f"config 5 (incl. compile): {dt:.1f}s, final latent {res.latents.shape}")
+    t0 = time.time()
+    res = pipe.demofusion(cond, uncond, 1024, 1024, cfg, sp, seed=1,
+                          tiled_vae=tv, decode=False)
+    RESULT["secondary"]["sdxl_demofusion_x3_s_per_image"] = round(time.time() - t0, 2)
+
+
 def main():
     wait_for_device()
     log(f"bench device: {jax.devices()[0]}")
@@ -228,6 +308,11 @@ def main():
               ("config2-panorama", lambda: bench_panorama(pipe, cond, uncond)),
               ("config3-mod-upscale", lambda: bench_mod_upscale(pipe, cond, uncond))]
     only = os.environ.get("MDU_BENCH_CONFIGS")      # e.g. "2" or "1,2"
+    if only and "4" in only.split(","):
+        phases.append(("config4-regional", lambda: bench_regional(pipe, cond, uncond)))
+    if only and "5" in only.split(","):
+        phases.append(("config5-sdxl-demofusion",
+                       lambda: bench_sdxl_demofusion(pipe, cond, uncond)))
     for name, fn in phases:
         if only and name.split("-")[0].lstrip("config") not in only.split(","):
             continue
