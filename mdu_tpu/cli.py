@@ -314,10 +314,13 @@ def cmd_img2img(args):
     _graceful_interrupt(pipe)
     _apply_prompt_networks(pipe, args, regions)
     img = np.asarray(Image.open(args.init).convert("RGB"))
+    mask = None
+    if getattr(args, "mask", None):
+        mask = np.asarray(Image.open(args.mask).convert("L")).astype(np.float32) / 255.0
     seed = _seed(args)
     with perfcount("Tiled Diffusion"):
         res = pipe.img2img(img, cond, uncond, sp, seed, tiled_diffusion=td,
-                           tiled_vae=tv, region_conds=rc)
+                           tiled_vae=tv, region_conds=rc, mask=mask)
     _save(res.images, args.out, _with_prompt(args, res.info))
 
 
@@ -405,6 +408,8 @@ def main(argv: Optional[List[str]] = None):
     i = sub.add_parser("img2img", help="tiled image-to-image upscaling")
     _add_common(i)
     i.add_argument("--init", required=True, help="input image")
+    i.add_argument("--mask", help="grayscale inpaint mask (white = redraw); "
+                   "masked-redraw semantics like A1111 img2img")
     i.add_argument("--upscaler", default="Lanczos",
                    choices=["None", "Nearest", "Bilinear", "Bicubic", "Lanczos"])
     i.add_argument("--scale-factor", type=float, default=2.0)
