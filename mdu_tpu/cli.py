@@ -22,7 +22,11 @@ import numpy as np
 
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--model-dir", required=True,
-                   help="diffusers-layout checkpoint folder")
+                   help="diffusers-layout checkpoint folder, or a single "
+                        ".safetensors file (A1111/LDM layout)")
+    p.add_argument("--tokenizer-dir",
+                   help="vocab.json+merges.txt folder for single-file "
+                        "checkpoints (default: <ckpt dir>/tokenizer)")
     p.add_argument("--prompt", default="")
     p.add_argument("--negative", default="")
     p.add_argument("--steps", type=int, default=20)
@@ -75,7 +79,15 @@ def _load(args):
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     print(f"loading checkpoint from {args.model_dir} ...", file=sys.stderr)
-    pipe, conditioner = load_pipeline(args.model_dir, dtype=dtype)
+    if args.model_dir.endswith((".safetensors", ".ckpt")):
+        # single-file A1111-style checkpoint (LDM naming)
+        from .models.single_file import load_single_file
+
+        pipe, conditioner = load_single_file(
+            args.model_dir, dtype=dtype,
+            tokenizer_dir=getattr(args, "tokenizer_dir", None))
+    else:
+        pipe, conditioner = load_pipeline(args.model_dir, dtype=dtype)
     if getattr(args, "devices", 1) > 1:
         import jax
 

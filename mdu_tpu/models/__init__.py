@@ -1,4 +1,5 @@
 from .controlnet import ControlNet
+from .single_file import load_single_file
 from .stablesr import StableSRGuidance, combine_residuals
 from .esrgan import RRDBNet, RRDBNetConfig, load_esrgan, register_esrgan_upscaler
 from .init_utils import random_params
@@ -33,7 +34,7 @@ from .vae import AutoencoderKL, Decoder, Encoder, VAEConfig, sample_from_moments
 __all__ = [
     "random_params", "ControlNet", "StableSRGuidance", "combine_residuals",
     "RRDBNet", "RRDBNetConfig", "load_esrgan", "register_esrgan_upscaler",
-    "convert_params", "load_pipeline", "load_safetensors",
+    "convert_params", "load_pipeline", "load_safetensors", "load_single_file",
     "translate_clip_name", "translate_controlnet_name", "translate_unet_name",
     "translate_vae_name",
     "CLIPTextConfig", "CLIPTextModel", "clip_l_config", "open_clip_bigg_config",

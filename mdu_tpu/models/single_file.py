@@ -198,9 +198,15 @@ def detect_arch(state: Dict[str, np.ndarray]) -> str:
     return "sd2" if ctx == 1024 else "sd1"
 
 
-def load_single_file(path: str, dtype=None, schedule=None):
+def load_single_file(path: str, dtype=None, schedule=None,
+                     tokenizer_dir: Optional[str] = None):
     """Build (DiffusionPipeline, conditioner) from one LDM safetensors file
-    (the A1111 checkpoint format the reference's users have)."""
+    (the A1111 checkpoint format the reference's users have).
+
+    Single-file checkpoints carry no tokenizer; pass ``tokenizer_dir``
+    (vocab.json + merges.txt) or place a ``tokenizer/`` folder next to the
+    checkpoint — otherwise a hash tokenizer stands in (fine for smoke
+    tests, wrong for real prompts)."""
     import jax
     import jax.numpy as jnp
 
@@ -278,8 +284,27 @@ def load_single_file(path: str, dtype=None, schedule=None):
         schedule = NoiseSchedule(prediction_type=(
             "v_prediction" if arch == "sd2" and _is_v_model(state) else "epsilon"))
 
+    import os as _os
+    import sys as _sys
+
+    tok = tok2 = None
+    td = tokenizer_dir or _os.path.join(_os.path.dirname(_os.path.abspath(path)),
+                                        "tokenizer")
+    if _os.path.exists(_os.path.join(td, "vocab.json")):
+        from ..text.tokenizer import CLIPTokenizer
+
+        tok = CLIPTokenizer.from_files(_os.path.join(td, "vocab.json"),
+                                       _os.path.join(td, "merges.txt"))
+        tok2 = CLIPTokenizer.from_files(_os.path.join(td, "vocab.json"),
+                                        _os.path.join(td, "merges.txt"),
+                                        pad_with_eot=False)
+    else:
+        print("[mdu_tpu] single-file load: no tokenizer files found "
+              f"({td}); using a hash tokenizer — pass tokenizer_dir for "
+              "real prompts", file=_sys.stderr)
+
     pipe = DiffusionPipeline(unet, unet_params, vae, vae_params, schedule)
-    conditioner = TextConditioner(clip, clip_params)
+    conditioner = TextConditioner(clip, clip_params, tok)
 
     if arch == "sdxl":
         from ..text.sdxl import SDXLConditioner
@@ -290,7 +315,7 @@ def load_single_file(path: str, dtype=None, schedule=None):
         c2_shapes = shapes(clip2, jnp.zeros((1, ccfg2.max_length), jnp.int32))
         clip2_params = convert_params(c2_shapes, c2, translate_clip_name)
         conditioner = SDXLConditioner(conditioner,
-                                      TextConditioner(clip2, clip2_params))
+                                      TextConditioner(clip2, clip2_params, tok2))
     return pipe, conditioner
 
 

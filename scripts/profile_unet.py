@@ -21,13 +21,19 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/mdu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def timeit(fn, *args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def chain_time(step_x, x, n=6):
+    """Time n chained applications via lax.scan — per-call timing through
+    the async remote tunnel under-reports wildly (dispatch returns before
+    execution), so the chain forces sequential on-device execution."""
+    def body(c, _):
+        return step_x(c), None
+
+    g = jax.jit(lambda x: jax.lax.scan(body, x, None, length=n)[0].sum())
+    print("  compiling...", file=sys.stderr, flush=True)
+    np.asarray(g(x))
+    print("  compiled", file=sys.stderr, flush=True)
     t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(g(x))
     return (time.time() - t0) / n
 
 
@@ -73,39 +79,28 @@ def main():
     params = jax.tree.map(lambda a: a.astype(dt),
                           random_params(unet, 0, x[:1], t[:1], ctx[:1]))
 
-    step = jax.jit(lambda p, x, t, c: unet.apply(p, x, t, c))
-    dt_full = timeit(step, params, x, t, ctx)
+    print('timing full UNet step...', file=sys.stderr, flush=True)
+    dt_full = chain_time(lambda c: unet.apply(params, c, t, ctx), x)
     fl = unet_flops(cfg, B, 96, 96)
     print(f"full UNet step [{B},4,96,96]: {dt_full*1e3:.2f} ms "
           f"(~{fl/dt_full/1e12:.0f} TFLOP/s of ~{fl/1e12:.1f} TF)")
-
-    # ---- ablation: flash attention vs chunked sdpa vs plain sdpa
-    for mode, flag in (("flash", True), ("xla-sdpa", False)):
-        attention.USE_FLASH_ATTENTION = flag
-        s2 = jax.jit(lambda p, x, t, c: unet.apply(p, x, t, c))
-        d = timeit(s2, params, x, t, ctx)
-        print(f"attention={mode}: {d*1e3:.2f} ms")
-    attention.USE_FLASH_ATTENTION = True
 
     # ---- isolated flash attention at the real SD1.5 level shapes
     from mdu_tpu.ops.pallas import flash_attention
     for (Hn, L, D) in ((8, 9216, 40), (8, 2304, 80), (8, 576, 160)):
         q = jax.random.normal(jax.random.PRNGKey(2), (B, Hn, L, D), dt)
-        f = jax.jit(lambda q: flash_attention(q, q, q))
-        d = timeit(f, q, n=10)
+        d = chain_time(lambda c: flash_attention(c, c, c), q, n=10)
         fl_a = 4 * B * Hn * L * L * D
         print(f"flash [B={B},{Hn},{L},{D}]: {d*1e3:.2f} ms "
               f"({fl_a/d/1e12:.1f} useful TFLOP/s; D pads to 128)")
 
     # ---- GroupNorm share: count x cost at each level
     from mdu_tpu.ops.groupnorm import group_norm
-    wgt = jnp.ones((320,))
     for (C, hh, ww, count) in ((320, 96, 96, 14), (640, 48, 48, 14),
                                (1280, 24, 24, 20)):
         xa = jax.random.normal(jax.random.PRNGKey(3), (B, C, hh, ww), dt)
         w1 = jnp.ones((C,))
-        g = jax.jit(lambda x: group_norm(x, 32, w1, jnp.zeros((C,))).astype(dt))
-        d = timeit(g, xa)
+        d = chain_time(lambda c: group_norm(c, 32, w1, jnp.zeros((C,))).astype(dt), xa)
         print(f"group_norm [{B},{C},{hh},{ww}] x~{count}/step: {d*1e3:.3f} ms "
               f"(~{d*count*1e3:.2f} ms/step total)")
 
