@@ -29,6 +29,10 @@ def _add_common(p: argparse.ArgumentParser):
                         "checkpoints (default: <ckpt dir>/tokenizer)")
     p.add_argument("--prompt", default="")
     p.add_argument("--negative", default="")
+    p.add_argument("--style", action="append", default=[],
+                   help="apply a named style from --styles-file; repeatable")
+    p.add_argument("--styles-file", default="styles.csv",
+                   help="A1111-format styles.csv")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--sampler", default="Euler",
                    choices=["Euler", "Euler a", "Heun", "DPM2", "DPM2 a",
@@ -120,6 +124,27 @@ def _load(args):
         pipe.unet_params = merge_lora(pipe.unet_params, load_safetensors(path),
                                       scale=weight)
     return pipe, conditioner
+
+
+def _apply_styles(args):
+    """Resolve --style names through --styles-file into the prompt pair
+    (ref Prompt.apply_styles, tile_utils/utils.py:106-109)."""
+    import os
+
+    if not getattr(args, "style", None):
+        return
+    from .text.prompt import apply_styles, load_styles
+
+    if not os.path.exists(args.styles_file):
+        print(f"warning: styles file {args.styles_file!r} not found; "
+              "styles ignored", file=sys.stderr)
+        return
+    table = load_styles(args.styles_file)
+    for name in args.style:
+        if name not in table:
+            print(f"warning: unknown style {name!r}", file=sys.stderr)
+    args.prompt, args.negative = apply_styles(args.prompt, args.negative,
+                                              args.style, table)
 
 
 def _configs(args):
@@ -299,6 +324,7 @@ def _save(images: np.ndarray, path: str, info: dict):
 def cmd_txt2img(args):
     from .utils.telemetry import perfcount
 
+    _apply_styles(args)
     pipe, conditioner = _load(args)
     td, tv, sp, regions = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
@@ -318,6 +344,7 @@ def cmd_img2img(args):
 
     from .utils.telemetry import perfcount
 
+    _apply_styles(args)
     pipe, conditioner = _load(args)
     td, tv, sp, regions = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
@@ -340,6 +367,7 @@ def cmd_demofusion(args):
     from .config import DemoFusionConfig
     from .utils.telemetry import perfcount
 
+    _apply_styles(args)
     pipe, conditioner = _load(args)
     _, tv, sp, _ = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)

@@ -200,3 +200,37 @@ def split_composable(text: str) -> List[ComposablePrompt]:
         w = float(m.group(2)) if m.group(2) is not None else 1.0
         out.append(ComposablePrompt(body, w))
     return out
+
+
+# ----------------------------------------------------------------- styles
+
+
+def load_styles(csv_path: str) -> dict:
+    """A1111 styles.csv -> {name: (prompt, negative_prompt)}.
+
+    The reference applies styles via shared.prompt_styles
+    (ref tile_utils/utils.py:106-109 Prompt.apply_styles)."""
+    import csv
+
+    out = {}
+    with open(csv_path, encoding="utf-8-sig", newline="") as f:
+        for row in csv.DictReader(f):
+            name = (row.get("name") or "").strip()
+            if not name or name == "None":
+                continue
+            out[name] = (row.get("prompt") or "", row.get("negative_prompt") or "")
+    return out
+
+
+def apply_styles(prompt: str, negative: str, styles, table: dict):
+    """A1111 apply_styles_to_prompt semantics: a style prompt containing
+    '{prompt}' substitutes the user prompt into the placeholder; otherwise
+    it appends ', style'.  Negatives always append."""
+    for name in styles or ():
+        sp, sn = table.get(name, ("", ""))
+        if sp:
+            prompt = sp.replace("{prompt}", prompt) if "{prompt}" in sp \
+                else (f"{prompt}, {sp}" if prompt else sp)
+        if sn:
+            negative = f"{negative}, {sn}" if negative else sn
+    return prompt, negative

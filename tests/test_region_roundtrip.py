@@ -93,3 +93,25 @@ def test_png_metadata_seed_recovery(tmp_path):
 
 def test_png_info_without_regions():
     assert regions_from_png_info({"Sampler": "Euler"}) == []
+
+
+def test_styles_csv_application(tmp_path):
+    """A1111 styles.csv: {prompt} substitution, plain append, negatives
+    (ref Prompt.apply_styles, tile_utils/utils.py:106-109)."""
+    from mdu_tpu.text.prompt import apply_styles, load_styles
+
+    csv_file = tmp_path / "styles.csv"
+    csv_file.write_text(
+        'name,prompt,negative_prompt\n'
+        'cinematic,"{prompt}, cinematic lighting, 35mm","grainy"\n'
+        'anime,"anime style",""\n', encoding="utf-8")
+    table = load_styles(str(csv_file))
+    assert set(table) == {"cinematic", "anime"}
+
+    p, n = apply_styles("a cat", "ugly", ["cinematic"], table)
+    assert p == "a cat, cinematic lighting, 35mm"
+    assert n == "ugly, grainy"
+    p, n = apply_styles("a cat", "", ["anime"], table)
+    assert p == "a cat, anime style" and n == ""
+    p, n = apply_styles("a cat", "", ["cinematic", "anime"], table)
+    assert p == "a cat, cinematic lighting, 35mm, anime style"
