@@ -117,34 +117,36 @@ def shard_vae_tiles(mesh: Mesh, num_tiles: int) -> Tuple[int, NamedSharding]:
     return t_pad, NamedSharding(mesh, P("tiles"))
 
 
-def sharded_tiled_vae_decode(
-    mesh: Mesh, vae, params: Any, z: jnp.ndarray, tile_size: int = 96,
-) -> jnp.ndarray:
-    """Tile-sharded exact tiled-VAE decode: tiles split over the mesh, the
-    GroupNorm statistics pooled by `psum` over ICI (TileContext.axis_name).
+def _sharded_tiled_vae(mesh: Mesh, vae, params: Any, x: jnp.ndarray,
+                       which: str, tile_size: int) -> Optional[jnp.ndarray]:
+    """Tile-sharded exact tiled-VAE encode/decode: tiles split over the mesh,
+    the GroupNorm statistics pooled by `psum` over ICI
+    (TileContext.axis_name).  Returns None when tiling is unnecessary.
 
     Padding tiles (repeats of the last tile) carry zero owned-region masks,
     so they contribute nothing to the pooled statistics or the output.
     """
+    from ..ops.tile_context import TileContext
     from ..tiling.tiled_vae import (
         DECODER_PAD,
-        VAETilePlan,
+        ENCODER_PAD,
         _gather_plan_tiles,
         _scatter_owned,
         plan_vae_tiles,
     )
-    from ..ops.tile_context import TileContext
 
-    B = z.shape[0]
-    plan = plan_vae_tiles(z.shape[2], z.shape[3], tile_size, DECODER_PAD)
+    decode = which == "decoder"
+    pad = DECODER_PAD if decode else ENCODER_PAD
+    B = x.shape[0]
+    plan = plan_vae_tiles(x.shape[2], x.shape[3], tile_size, pad)
     if plan is None:
-        return vae.apply(params, z, method=vae.decode)
+        return None
 
     n_dev = mesh.shape["tiles"]
     T = plan.num_tiles
     T_pad = -(-T // n_dev) * n_dev
 
-    tiles = _gather_plan_tiles(z, plan)                 # [T*B, C, th, tw]
+    tiles = _gather_plan_tiles(x, plan)                 # [T*B, C, th, tw]
     masks = np.asarray(plan.local_masks())              # [T, 1, th, tw]
     if T_pad > T:
         reps = T_pad - T
@@ -155,13 +157,35 @@ def sharded_tiled_vae_decode(
     masks = jnp.asarray(masks)
 
     t_local = T_pad // n_dev
+    method = vae.decode if decode else vae.encode_moments
 
-    def body(tile_shard, mask_shard):
+    def body(p, tile_shard, mask_shard):
         ctx = TileContext(t_local, (plan.in_h, plan.in_w), mask_shard,
                           axis_name="tiles")
-        return vae.apply(params, tile_shard, ctx, method=vae.decode)
+        return vae.apply(p, tile_shard, ctx, method=method)
 
     out = jax.shard_map(body, mesh=mesh,
-                        in_specs=(P("tiles"), P("tiles")),
-                        out_specs=P("tiles"))(tiles, masks)
-    return _scatter_owned(out[: T * B], plan, 8, 1, vae.cfg.out_channels, B)
+                        in_specs=(P(), P("tiles"), P("tiles")),
+                        out_specs=P("tiles"))(params, tiles, masks)
+    if decode:
+        return _scatter_owned(out[: T * B], plan, 8, 1, vae.cfg.out_channels, B)
+    return _scatter_owned(out[: T * B], plan, 1, 8,
+                          2 * vae.cfg.latent_channels, B)
+
+
+def sharded_tiled_vae_decode(
+    mesh: Mesh, vae, params: Any, z: jnp.ndarray, tile_size: int = 96,
+) -> jnp.ndarray:
+    out = _sharded_tiled_vae(mesh, vae, params, z, "decoder", tile_size)
+    if out is None:
+        return vae.apply(params, z, method=vae.decode)
+    return out
+
+
+def sharded_tiled_vae_encode_moments(
+    mesh: Mesh, vae, params: Any, x: jnp.ndarray, tile_size: int = 1536,
+) -> jnp.ndarray:
+    out = _sharded_tiled_vae(mesh, vae, params, x, "encoder", tile_size)
+    if out is None:
+        return vae.apply(params, x, method=vae.encode_moments)
+    return out

@@ -850,6 +850,12 @@ class DiffusionPipeline:
             def run(vp, z):
                 z = z / self.vae.cfg.scaling_factor
                 if tv is not None and tv.enabled:
+                    if self.mesh is not None and not tv.fast_decoder:
+                        from .parallel.sharded import sharded_tiled_vae_decode
+
+                        return sharded_tiled_vae_decode(
+                            self.mesh, self.vae, vp, z,
+                            tile_size=tv.decoder_tile_size)
                     return tiled_vae_decode(self.vae, vp, z,
                                             tile_size=tv.decoder_tile_size,
                                             fast=tv.fast_decoder, tile_batch=tv.tile_batch)
@@ -874,6 +880,12 @@ class DiffusionPipeline:
         def builder():
             def run(vp, x):
                 if tv is not None and tv.enabled:
+                    if self.mesh is not None and not tv.fast_encoder:
+                        from .parallel.sharded import sharded_tiled_vae_encode_moments
+
+                        return sharded_tiled_vae_encode_moments(
+                            self.mesh, self.vae, vp, x,
+                            tile_size=tv.encoder_tile_size)
                     return tiled_vae_encode_moments(self.vae, vp, x,
                                                     tile_size=tv.encoder_tile_size,
                                                     fast=tv.fast_encoder,

@@ -152,3 +152,25 @@ def test_mesh_without_tiles_axis_rejected():
     bad = Mesh(np.array(jax.devices()[:2]), ("dp",))
     with pytest.raises(ValueError, match="tiles"):
         DiffusionPipeline(unet, up, vae, vp, mesh=bad)
+
+
+def test_sharded_vae_decode_encode_match_single(pipes):
+    """Mesh-sharded tiled VAE (psum GroupNorm pooling) == lockstep exact,
+    wired through the pipeline's decode/encode when a mesh is set."""
+    from mdu_tpu.config import TiledVAEConfig
+
+    single, sharded = pipes
+    tv = TiledVAEConfig(encoder_tile_size=96, decoder_tile_size=16,
+                        fast_decoder=False, fast_encoder=False)
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 24, 24)) * 0.3
+    a = single._decode(z, tv)
+    b = sharded._decode(z, tv)
+    np.testing.assert_allclose(a.astype(np.int16), b.astype(np.int16), atol=1)
+
+    img = (np.random.default_rng(1).random((192, 192, 3)) * 255).astype(np.uint8)
+    from mdu_tpu.utils.image import image_to_tensor
+
+    x = image_to_tensor(img)
+    ma = single._encode(x, tv)
+    mb = sharded._encode(x, tv)
+    np.testing.assert_allclose(np.asarray(ma), np.asarray(mb), atol=2e-4, rtol=1e-4)
