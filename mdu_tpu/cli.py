@@ -36,8 +36,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--sampler", default="Euler",
                    choices=["Euler", "Euler a", "Heun", "DPM2", "DPM2 a",
-                            "DPM++ 2M", "DPM++ 2S a", "DPM++ SDE", "DDIM",
-                            "LMS", "PLMS", "Restart"])
+                            "DPM++ 2M", "DPM++ 2S a", "DPM++ SDE",
+                            "DPM++ 2M SDE", "DPM fast", "DPM adaptive",
+                            "DDIM", "LMS", "PLMS", "Restart"])
     p.add_argument("--schedule", default="automatic", choices=["automatic", "karras"])
     p.add_argument("--cfg-scale", type=float, default=7.0)
     p.add_argument("--seed", type=int, default=-1)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -117,3 +118,40 @@ def group_norm(
     mean, meansq, _ = group_stats(x, num_groups)
     var = jnp.maximum(meansq - mean * mean, 0.0)
     return apply_group_norm(x, num_groups, mean, var, weight, bias, eps)
+
+
+def group_norm_chanreduce(
+    x: jnp.ndarray,
+    num_groups: int,
+    weight: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """GroupNorm via per-channel moments + tiny group pool, folded affine.
+
+    Same math as ``group_norm`` but structured for the TPU scheduler:
+      1. one pass computes per-channel (Σx, Σx²) as a [B, C] pair — no 5-D
+         reshape of the activation, so XLA keeps the reduction on the native
+         layout and fuses both moments into a single read;
+      2. group pooling happens on the tiny [B, C] tensors;
+      3. normalize+affine is folded to one fused `x * a + b` elementwise
+         (a = w·rstd, b = β − μ·rstd·w), one read + one write.
+    """
+    B, C, H, W = x.shape
+    G = num_groups
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(2, 3))                     # [B, C]
+    s2 = jnp.sum(xf * xf, axis=(2, 3))                # [B, C]
+    n = float(C // G * H * W)
+    gmean = jnp.sum(s1.reshape(B, G, C // G), axis=2) / n          # [B, G]
+    gmeansq = jnp.sum(s2.reshape(B, G, C // G), axis=2) / n
+    var = jnp.maximum(gmeansq - gmean * gmean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)                   # [B, G]
+    mu_c = jnp.repeat(gmean, C // G, axis=1)          # [B, C]
+    rstd_c = jnp.repeat(rstd, C // G, axis=1)
+    w = jnp.ones((C,), jnp.float32) if weight is None else weight.astype(jnp.float32)
+    b = jnp.zeros((C,), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    a_c = rstd_c * w[None, :]                         # [B, C]
+    b_c = b[None, :] - mu_c * a_c
+    out = xf * a_c[:, :, None, None] + b_c[:, :, None, None]
+    return out.astype(x.dtype)

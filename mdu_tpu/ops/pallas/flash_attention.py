@@ -70,6 +70,106 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                    *, scale: float, kv_len: int, block_k: int):
+    """Transposed-layout body: blocks are [D, L] (D on sublanes, L on lanes).
+
+    Rationale: SD UNet head dims are 40/80/160 — none a multiple of 128, so
+    the lane-major kernel above pads D to 128/256 and the QKᵀ contraction
+    does up to 3.2x the useful MXU work.  With D on the *sublane* axis the
+    pad granularity is 16 (bf16), so the contraction length stays ~D:
+      sᵀ[bk,bq] = Σ_d k[d,bk]·q[d,bq]   (K=Dp≈D instead of 128)
+      accᵀ[D,bq] += v[d,bk]·p[bk,bq]    (same MXU cost as lane-major PV)
+    Online softmax runs over the sublane (kv) axis of sᵀ.
+    """
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qt = q_ref[0]                      # [d, bq]
+    kt = k_ref[0]                      # [d, bk]
+    st = jax.lax.dot_general(
+        kt, qt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # [bk, bq]
+
+    # mask padded kv rows (sublane axis) in the final block
+    row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+    st = jnp.where(row < kv_len, st, NEG_INF)
+
+    m_prev = m_ref[:]                  # [1, bq]
+    m_new = jnp.maximum(m_prev, jnp.max(st, axis=0, keepdims=True))
+    p = jnp.exp(st - m_new)            # [bk, bq]
+    corr = jnp.exp(m_prev - m_new)     # [1, bq]
+
+    l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=0, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        v_ref[0], p.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention_t(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention for [B, H, L, D] with a transposed [D, L] block layout.
+
+    Preferred when D is far from a multiple of 128 (SD1.5 head dims
+    40/80/160): the QKᵀ contraction length is padded only to a multiple of
+    16 instead of 128.  Same online-softmax math as ``flash_attention``.
+    """
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+
+    bq = min(block_q, _round_up(Lq, 128))
+    bk = min(block_k, _round_up(Lk, 128))
+    Dp = _round_up(D, 16)
+    Lqp = _round_up(Lq, bq)
+    Lkp = _round_up(Lk, bk)
+
+    def prep(x, Lp):
+        x = x.reshape(B * H, x.shape[2], D)
+        x = jnp.pad(x, ((0, 0), (0, Lp - x.shape[1]), (0, Dp - D)))
+        return x.transpose(0, 2, 1)            # [BH, Dp, Lp]
+
+    qp, kp, vp = prep(q, Lqp), prep(k, Lkp), prep(v, Lkp)
+
+    grid = (B * H, Lqp // bq, Lkp // bk)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_t, scale=scale, kv_len=Lk, block_k=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Dp, bq), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, Dp, bk), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((1, Dp, bk), lambda b, qi, ki: (b, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, Dp, bq), lambda b, qi, ki: (b, 0, qi)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Dp, Lqp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, bq), jnp.float32),
+            pltpu.VMEM((1, bq), jnp.float32),
+            pltpu.VMEM((Dp, bq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.transpose(0, 2, 1)[:, :Lq, :D].reshape(B, H, Lq, D)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -28,7 +28,8 @@ from .models.unet import UNet2DCondition
 from .models.vae import AutoencoderKL, sample_from_moments
 from .ops.resize import resize_nchw
 from .samplers.denoiser import cfg_combine, denoised_from_model, scalings
-from .samplers.samplers import STOCHASTIC_SAMPLERS, get_sampler
+from .samplers.samplers import (STATIC_SIGMA_SAMPLERS, STOCHASTIC_SAMPLERS,
+                                get_sampler)
 from .samplers.schedule import NoiseSchedule
 from .tiling.conds import Cond, concat_conds, tile_cond, tile_cond_stacked
 from .tiling.regions import compose_region_noise, resolve_seed
@@ -489,8 +490,12 @@ class DiffusionPipeline:
                   file=__import__('sys').stderr)
             cb = None
 
+        sigmas_const = sigmas          # STATIC_SIGMA_SAMPLERS split host-side
+
         def builder():
             def run(uparams, rparams, cnparams, c, u, rc, sigmas, x, skey):
+                if sp.name in STATIC_SIGMA_SAMPLERS:
+                    sigmas = sigmas_const
                 den_fn = self._make_denoised_fn(plan, c, u, sp.cfg_scale,
                                                 rc, latent_hw=(h, w),
                                                 unet_params=uparams,
@@ -513,6 +518,8 @@ class DiffusionPipeline:
                     sp.cfg_scale, (sp.s_churn, sp.s_tmin, sp.s_tmax, sp.s_noise),
                     uncond is None, len(region_conds),
                     step_callback is not None)
+            if sp.name in STATIC_SIGMA_SAMPLERS:
+                jkey += (tuple(np.asarray(sigmas_const).tolist()),)
             runner = self._cached_jit(jkey, builder)
             latents = runner(self.unet_params, rparams, self.controlnet_params,
                              cond, uncond, tuple(region_conds), sigmas, x, skey)
@@ -623,8 +630,12 @@ class DiffusionPipeline:
                 m = m[None, None]
             latent_mask = resize_nchw(m, (h, w), "linear")
 
+        sigmas_const = sigmas          # STATIC_SIGMA_SAMPLERS split host-side
+
         def builder():
             def run(uparams, rparams, cnparams, c, u, rc, sigmas, x, skey, init_mask):
+                if sp.name in STATIC_SIGMA_SAMPLERS:
+                    sigmas = sigmas_const
                 den_fn = self._make_denoised_fn(plan, c, u, sp.cfg_scale,
                                                 rc, latent_hw=(h, w),
                                                 unet_params=uparams,
@@ -655,6 +666,8 @@ class DiffusionPipeline:
                     uncond is None, len(region_conds),
                     latent_mask is not None,
                     step_callback is not None)
+            if sp.name in STATIC_SIGMA_SAMPLERS:
+                jkey += (tuple(np.asarray(sigmas_const).tolist()),)
             runner = self._cached_jit(jkey, builder)
             latents = runner(self.unet_params, rparams, self.controlnet_params,
                              cond, uncond, tuple(region_conds), sigmas, x, skey,

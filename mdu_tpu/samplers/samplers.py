@@ -441,6 +441,211 @@ def sample_plms(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray
     return x
 
 
+def _dpm_eps(denoised_fn, x, t, i):
+    """eps in DPM-Solver t-coordinates (t = -log sigma, sigma = e^-t)."""
+    s = jnp.exp(-t)
+    return (x - denoised_fn(x, s, i)) / s
+
+
+def _dpm1(denoised_fn, x, t, t_next, i, eps=None):
+    h = t_next - t
+    if eps is None:
+        eps = _dpm_eps(denoised_fn, x, t, i)
+    return x - jnp.exp(-t_next) * jnp.expm1(h) * eps
+
+
+def _dpm2(denoised_fn, x, t, t_next, i, r1=0.5, eps=None, eps_r1=None):
+    h = t_next - t
+    if eps is None:
+        eps = _dpm_eps(denoised_fn, x, t, i)
+    s1 = t + r1 * h
+    if eps_r1 is None:
+        u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+        eps_r1 = _dpm_eps(denoised_fn, u1, s1, i)
+    return (x - jnp.exp(-t_next) * jnp.expm1(h) * eps
+            - jnp.exp(-t_next) / (2 * r1) * jnp.expm1(h) * (eps_r1 - eps))
+
+
+def _dpm3(denoised_fn, x, t, t_next, i, r1=1 / 3, r2=2 / 3,
+          eps=None, eps_r1=None):
+    h = t_next - t
+    if eps is None:
+        eps = _dpm_eps(denoised_fn, x, t, i)
+    s1, s2 = t + r1 * h, t + r2 * h
+    if eps_r1 is None:
+        u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+        eps_r1 = _dpm_eps(denoised_fn, u1, s1, i)
+    u2 = (x - jnp.exp(-s2) * jnp.expm1(r2 * h) * eps
+          - jnp.exp(-s2) * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1)
+          * (eps_r1 - eps))
+    eps_r2 = _dpm_eps(denoised_fn, u2, s2, i)
+    return (x - jnp.exp(-t_next) * jnp.expm1(h) * eps
+            - jnp.exp(-t_next) / r2 * (jnp.expm1(h) / h - 1) * (eps_r2 - eps))
+
+
+def sample_dpm_fast(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
+                    sigmas: jnp.ndarray,
+                    key: Optional[jax.Array] = None,
+                    step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+    """DPM-Solver-Fast (Lu et al. 2022; k-diffusion sample_dpm_fast):
+    fixed uniform grid in t = -log sigma from sigma_max to the smallest
+    nonzero sigma, solved with order-3 segments and an order-(2,1 | n%3)
+    tail.  The leading order-3 segments share one step size, so they run as
+    a single `lax.scan` (the UNet is traced once, not per segment).  A final
+    exact jump to sigma=0 (x = denoised) matches this module's convention of
+    ending at sigmas[-1]=0 (k-diffusion stops at sigma_min)."""
+    import numpy as _np
+
+    sig_np = _np.asarray(sigmas)
+    n = len(sig_np) - 1                       # model budget (NFE groups)
+    t_start = -_np.log(sig_np[0])
+    t_end = -_np.log(sig_np[-2])              # smallest nonzero sigma
+    m = n // 3 + 1
+    ts = _np.linspace(t_start, t_end, m + 1)
+    orders = ([3] * (m - 2) + [2, 1]) if n % 3 == 0 else [3] * (m - 1) + [n % 3]
+    n3 = sum(1 for o in orders if o == 3)     # leading order-3 segments
+
+    def body(carry, seg_t):
+        x, i = carry
+        t, t_next = seg_t
+        x = _dpm3(denoised_fn, x, t, t_next, i)
+        _notify(step_callback, i, x)
+        return (x, i + 3), None
+
+    if n3 > 0:
+        seg = jnp.stack([jnp.asarray(ts[:n3]), jnp.asarray(ts[1:n3 + 1])], axis=1)
+        (x, i), _ = jax.lax.scan(body, (x, jnp.int32(0)), seg)
+    else:
+        i = jnp.int32(0)
+    for j in range(n3, m):                    # at most 2 tail segments
+        t, t_next = jnp.asarray(ts[j]), jnp.asarray(ts[j + 1])
+        o = orders[j]
+        fn = {1: _dpm1, 2: _dpm2, 3: _dpm3}[o]
+        x = fn(denoised_fn, x, t, t_next, i)
+        i = i + o
+    # jump to sigma = 0
+    s_last = jnp.asarray(sig_np[-2])
+    x = denoised_fn(x, s_last, i)
+    _notify(step_callback, i, x)
+    return x
+
+
+def sample_dpm_adaptive(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
+                        sigmas: jnp.ndarray, key: Optional[jax.Array] = None,
+                        order: int = 3, rtol: float = 0.05, atol: float = 0.0078,
+                        h_init: float = 0.05, pcoeff: float = 0.0,
+                        icoeff: float = 1.0, dcoeff: float = 0.0,
+                        accept_safety: float = 0.81, max_iters: int = 128,
+                        step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+    """DPM-Solver-12/23 adaptive (k-diffusion dpm_solver_adaptive) as a
+    `lax.while_loop`: embedded (order-1,2 | 2,3) pairs give a local error
+    estimate driving a PID step-size controller (k-diffusion
+    PIDStepSizeController with the atan limiter).  `sigmas` supplies only the
+    endpoints; `max_iters` bounds the traced loop (jit-safe).  Ends with the
+    exact jump to sigma=0 like sample_dpm_fast."""
+    import numpy as _np
+
+    sig_np = _np.asarray(sigmas)
+    t_start = float(-_np.log(sig_np[0]))
+    t_end = float(-_np.log(sig_np[-2]))
+    b1 = (pcoeff + icoeff + dcoeff) / order
+    b2 = -(pcoeff + 2 * dcoeff) / order
+    b3 = dcoeff / order
+
+    def solve_pair(x, s, t, i):
+        eps = _dpm_eps(denoised_fn, x, s, i)
+        h = t - s
+        r1 = 1.0 / 3.0 if order == 3 else 0.5
+        s1 = s + r1 * h
+        u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+        eps_r1 = _dpm_eps(denoised_fn, u1, s1, i)
+        if order == 3:
+            x_low = _dpm2(denoised_fn, x, s, t, i, r1=r1, eps=eps, eps_r1=eps_r1)
+            x_high = _dpm3(denoised_fn, x, s, t, i, eps=eps, eps_r1=eps_r1)
+        else:
+            x_low = _dpm1(denoised_fn, x, s, t, i, eps=eps)
+            x_high = _dpm2(denoised_fn, x, s, t, i, r1=r1, eps=eps, eps_r1=eps_r1)
+        return x_low, x_high
+
+    def cond(carry):
+        x, x_prev, s, h, errs, i, iters = carry
+        return jnp.logical_and(s < t_end - 1e-5, iters < max_iters)
+
+    def body(carry):
+        x, x_prev, s, h, errs, i, iters = carry
+        t = jnp.minimum(t_end, s + h)
+        x_low, x_high = solve_pair(x, s, t, i)
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
+        err = (jnp.linalg.norm(((x_low - x_high) / delta).reshape(-1))
+               / (x.size ** 0.5))
+        inv_err = 1.0 / (err + 1e-8)
+        e0 = inv_err
+        e1 = jnp.where(errs[1] > 0, errs[1], inv_err)
+        e2 = jnp.where(errs[2] > 0, errs[2], inv_err)
+        factor = e0 ** b1 * e1 ** b2 * e2 ** b3
+        factor = 1 + jnp.arctan(factor - 1)          # k-diffusion limiter
+        accept = factor >= accept_safety
+        x_new = jnp.where(accept, x_high, x)
+        x_prev_new = jnp.where(accept, x_low, x_prev)
+        s_new = jnp.where(accept, t, s)
+        errs_new = jnp.where(accept, jnp.stack([e0, e0, e1]),
+                             errs.at[0].set(e0))
+        _notify(step_callback, i, x_new)
+        return (x_new, x_prev_new, s_new, h * factor, errs_new,
+                i + (3 if order == 3 else 2), iters + 1)
+
+    errs0 = jnp.zeros((3,))
+    carry = (x, x, jnp.asarray(t_start), jnp.asarray(h_init), errs0,
+             jnp.int32(0), jnp.int32(0))
+    x, _, _, _, _, i, _ = jax.lax.while_loop(cond, body, carry)
+    return denoised_fn(x, jnp.asarray(sig_np[-2]), i)
+
+
+def sample_dpmpp_2m_sde(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
+                        sigmas: jnp.ndarray, key: jax.Array, eta: float = 1.0,
+                        s_noise: float = 1.0,
+                        step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+    """DPM-Solver++(2M) SDE, midpoint solver type (k-diffusion
+    sample_dpmpp_2m_sde): multistep data-prediction update with an
+    exponentially-decayed noise mix.  Per-step fold_in gaussian noise stands
+    in for the Brownian-tree sampler (as in sample_dpmpp_sde here)."""
+    sig, sig_next = _to_sigma_pairs(sigmas)
+
+    def t_of(s):
+        return -jnp.log(jnp.maximum(s, 1e-10))
+
+    def body(carry, inp):
+        x, old_den, h_last, have_old, k = carry
+        i, s, sn = inp
+        den = denoised_fn(x, s, i)
+
+        def last(_):
+            return den, h_last
+
+        def step(_):
+            t, t_next = t_of(s), t_of(sn)
+            h = t_next - t
+            eta_h = eta * h
+            x_new = (sn / s) * jnp.exp(-eta_h) * x - jnp.expm1(-h - eta_h) * den
+            r = h_last / h
+            mid = 0.5 * (-jnp.expm1(-h - eta_h)) * (1.0 / r) * (den - old_den)
+            x_new = jnp.where(have_old, x_new + mid, x_new)
+            if eta > 0:
+                sub = jax.random.fold_in(k, i)
+                noise = jax.random.normal(sub, x.shape, x.dtype)
+                x_new = x_new + noise * sn * jnp.sqrt(-jnp.expm1(-2 * eta_h)) * s_noise
+            return x_new, h
+
+        x_new, h_new = jax.lax.cond(sn > 0, step, last, None)
+        _notify(step_callback, i, x_new)
+        return (x_new, den, h_new, jnp.bool_(True), k), None
+
+    steps = jnp.arange(sig.shape[0])
+    init = (x, jnp.zeros_like(x), jnp.asarray(1.0), jnp.bool_(False), key)
+    (x, _, _, _, _), _ = jax.lax.scan(body, init, (steps, sig, sig_next))
+    return x
+
+
 def sample_restart(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
                    key: jax.Array, s_noise: float = 1.0,
                    restart_info: Optional[Tuple[float, float, int, int]] = None,
@@ -452,15 +657,14 @@ def sample_restart(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndar
 
     ``restart_info`` = (sigma_min_r, sigma_max_r, n_seg_steps, k_restarts);
     the default mirrors A1111's {0.1: [10, 2]} heuristic."""
-    s_min_r, s_max_r, n_seg, k_restarts = restart_info or (0.1, 2.0, 10, 2)
-    lo = float(jnp.maximum(jnp.asarray(s_min_r), sigmas[-2]))
-
-    # main pass: Heun over sigmas down to the restart floor, then to 0 after
-    main_hi = sigmas[sigmas >= lo] if isinstance(sigmas, jnp.ndarray) else sigmas
-    # static split: find the boundary index host-side
     import numpy as _np
 
+    # all schedule math is host-side numpy: `sigmas` must be CONCRETE
+    # (STATIC_SIGMA_SAMPLERS — the pipeline bakes it into the program), and
+    # under jit even ops on concrete closure arrays would be staged to tracers
     sig_np = _np.asarray(sigmas)
+    s_min_r, s_max_r, n_seg, k_restarts = restart_info or (0.1, 2.0, 10, 2)
+    lo = max(float(s_min_r), float(sig_np[-2]))
     cut = int(_np.searchsorted(-sig_np, -lo, side="right"))  # first idx < lo
     cut = max(2, min(cut, len(sig_np) - 1))
     upper = jnp.asarray(sig_np[:cut])
@@ -490,6 +694,9 @@ SAMPLERS = {
     "DPM++ 2M": sample_dpmpp_2m,
     "DPM++ 2S a": sample_dpmpp_2s_ancestral,
     "DPM++ SDE": sample_dpmpp_sde,
+    "DPM++ 2M SDE": sample_dpmpp_2m_sde,
+    "DPM fast": sample_dpm_fast,
+    "DPM adaptive": sample_dpm_adaptive,
     "DDIM": sample_ddim,
     "LMS": sample_lms,
     "PLMS": sample_plms,
@@ -497,7 +704,13 @@ SAMPLERS = {
 }
 
 # samplers whose updates need fresh noise each step
-STOCHASTIC_SAMPLERS = {"Euler a", "DPM++ 2S a", "DPM2 a", "DPM++ SDE", "Restart"}
+STOCHASTIC_SAMPLERS = {"Euler a", "DPM++ 2S a", "DPM2 a", "DPM++ SDE",
+                       "DPM++ 2M SDE", "Restart"}
+
+# samplers that split/derive their schedule host-side and therefore need
+# CONCRETE sigma values (the pipeline bakes sigmas into the traced program
+# and keys its jit cache on them instead of passing sigmas as an argument)
+STATIC_SIGMA_SAMPLERS = {"Restart", "DPM fast", "DPM adaptive"}
 
 
 def get_sampler(name: str):

@@ -40,7 +40,17 @@ def bench_kernels():
         np.asarray(g(x))
         return (time.time() - t0) / n * 1e3
 
-    print(f"group_norm XLA   : {chain(lambda c: group_norm(c, 32, w, b).astype(dt), x):.3f} ms")
+    from mdu_tpu.ops.groupnorm import group_norm_chanreduce
+
+    for shape in [(16, 640, 64, 96), (16, 320, 96, 96), (16, 1280, 24, 24)]:
+        xa = jax.random.normal(jax.random.PRNGKey(0), shape, dt)
+        wa = jnp.ones((shape[1],))
+        ba = jnp.zeros((shape[1],))
+        t_xla = chain(lambda c: group_norm(c, 32, wa, ba).astype(dt), xa)
+        t_cr = chain(lambda c: group_norm_chanreduce(c, 32, wa, ba).astype(dt), xa)
+        mb = int(np.prod(shape)) * 2 / 2**20
+        print(f"GN {shape} ({mb:.0f} MB): XLA {t_xla:.3f} ms | chanreduce {t_cr:.3f} ms",
+              flush=True)
     print(f"group_norm pallas: {chain(lambda c: fused_group_norm(c, 32, w, b).astype(dt), x):.3f} ms")
 
     q = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 6144, 64), dt)
@@ -51,6 +61,36 @@ def bench_kernels():
         ms = chain(fa, q, n=10)
         fl = 4 * 16 * 8 * 6144 * 6144 * 64
         print(f"flash bq={bq} bk={bk}: {ms:.2f} ms ({fl/ms/1e9:.0f} TFLOP/s)")
+
+
+def bench_flash_t():
+    """Lane-major vs transposed-layout flash attention at the real SD1.5
+    level shapes (head dims 40/80/160 — none lane-aligned)."""
+    from mdu_tpu.ops.pallas import flash_attention, flash_attention_t
+
+    dt = jnp.bfloat16
+    B = 16
+
+    def chain(f, x, n=10):
+        def body(c, _):
+            return f(c), None
+
+        g = jax.jit(lambda x: jax.lax.scan(body, x, None, length=n)[0].sum())
+        np.asarray(g(x))
+        t0 = time.time()
+        np.asarray(g(x))
+        return (time.time() - t0) / n * 1e3
+
+    for (H, L, D) in ((8, 9216, 40), (8, 2304, 80), (8, 576, 160), (8, 6144, 64)):
+        q = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D), dt)
+        fl = 4 * B * H * L * L * D
+        for name, fn in (("lane ", flash_attention), ("trans", flash_attention_t)):
+            for bq, bk in [(256, 512), (512, 1024), (512, 512)]:
+                if bq > L or bk > L:
+                    continue
+                ms = chain(lambda c, fn=fn, bq=bq, bk=bk: fn(c, c, c, block_q=bq, block_k=bk), q)
+                print(f"[{B},{H},{L},{D}] {name} bq={bq} bk={bk}: {ms:6.2f} ms "
+                      f"({fl/ms/1e9:.0f} useful TFLOP/s)", flush=True)
 
 
 def bench_pipeline(flags):
@@ -92,8 +132,11 @@ def bench_pipeline(flags):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernels", action="store_true")
+    ap.add_argument("--flash-t", action="store_true")
     args = ap.parse_args()
-    if args.kernels:
+    if args.flash_t:
+        bench_flash_t()
+    elif args.kernels:
         bench_kernels()
     else:
         base = bench_pipeline({"MDU_FUSED_GN": "0", "MDU_FUSED_BLEND": "0"})

@@ -29,6 +29,21 @@ def test_plain_group_norm_matches_numpy(rng):
     np.testing.assert_allclose(np.asarray(got), numpy_group_norm(x, 4, w, b), rtol=2e-4, atol=2e-5)
 
 
+def test_chanreduce_group_norm_matches_plain(rng):
+    from mdu_tpu.ops.groupnorm import group_norm_chanreduce
+
+    x = rng.normal(size=(3, 16, 7, 9)).astype(np.float32) * 2 - 0.5
+    w = rng.normal(size=(16,)).astype(np.float32)
+    b = rng.normal(size=(16,)).astype(np.float32)
+    want = np.asarray(group_norm(jnp.asarray(x), 4, jnp.asarray(w), jnp.asarray(b)))
+    got = np.asarray(group_norm_chanreduce(jnp.asarray(x), 4, jnp.asarray(w), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    # affine-less path
+    want = np.asarray(group_norm(jnp.asarray(x), 4))
+    got = np.asarray(group_norm_chanreduce(jnp.asarray(x), 4))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_tiled_stats_exactly_match_full(rng):
     """Disjoint owned regions + exact E[x²] pooling == full-tensor stats."""
     B, C, H, W = 2, 8, 16, 24

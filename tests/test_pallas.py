@@ -43,6 +43,36 @@ def test_flash_bf16(rng):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize("Lq,Lk,D", [
+    (128, 128, 64),
+    (200, 200, 40),     # unaligned L and D (SD1.5 head dim)
+    (256, 77, 64),      # cross-attention shape
+    (513, 513, 160),    # SD1.5 mid-level head dim
+])
+def test_flash_t_matches_sdpa(rng, Lq, Lk, D):
+    from mdu_tpu.ops.pallas import flash_attention_t
+
+    B, H = 1, 2
+    q = jnp.asarray(rng.normal(size=(B, H, Lq, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, Lk, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, Lk, D)).astype(np.float32))
+    want = np.asarray(sdpa(q, k, v))
+    got = np.asarray(flash_attention_t(q, k, v, block_q=128, block_k=128,
+                                       interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_t_bf16(rng):
+    from mdu_tpu.ops.pallas import flash_attention_t
+
+    q = jnp.asarray(rng.normal(size=(1, 2, 256, 40)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, 2, 256, 40)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, 2, 256, 40)), jnp.bfloat16)
+    want = np.asarray(sdpa(q, k, v)).astype(np.float32)
+    got = np.asarray(flash_attention_t(q, k, v, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
 def test_fused_tile_blend_matches_xla(rng):
     """Gather-formulated fused blend == scatter-add + divide reference."""
     from mdu_tpu.ops.fusion import scatter_add_tiles, weighted_average

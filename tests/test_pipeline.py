@@ -51,6 +51,18 @@ def test_txt2img_tiled_panorama(pipe):
     assert res.info["Tiled Diffusion"]["Method"] == Method.MULTI_DIFF
 
 
+@pytest.mark.parametrize("name", ["Restart", "DPM fast", "DPM adaptive",
+                                  "DPM++ 2M SDE"])
+def test_txt2img_special_samplers(pipe, name):
+    """Samplers that split their schedule host-side (STATIC_SIGMA_SAMPLERS)
+    and the 2M SDE multistep must run through the jitted pipeline (Restart
+    regression: concrete-sigma ops were staged to tracers)."""
+    res = pipe.txt2img(_cond(0), _cond(1), width=128, height=128,
+                       sampler=dataclasses.replace(SAMPLER, name=name),
+                       seed=7, decode=False)
+    assert np.isfinite(np.asarray(res.latents)).all()
+
+
 def test_txt2img_deterministic(pipe):
     a = pipe.txt2img(_cond(0), _cond(1), 256, 128, SAMPLER, seed=42,
                      tiled_diffusion=TD, decode=False)

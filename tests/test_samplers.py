@@ -240,6 +240,63 @@ def test_new_samplers_perfect_denoiser(sampler_name):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-2)
 
 
+@pytest.mark.parametrize("sampler_name", ["DPM fast", "DPM adaptive", "DPM++ 2M SDE"])
+def test_kdiff_family_perfect_denoiser(sampler_name):
+    from mdu_tpu.samplers import SAMPLERS
+
+    x0 = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 8, 8)).astype(np.float32))
+    sig = jnp.asarray(NoiseSchedule().sampling_sigmas(12))
+    noisy = x0 + jax.random.normal(jax.random.PRNGKey(1), x0.shape) * sig[0]
+    fn = SAMPLERS[sampler_name]
+    if sampler_name == "DPM++ 2M SDE":
+        out = fn(lambda x, s, i: x0, noisy, sig, jax.random.PRNGKey(2))
+    else:
+        out = fn(lambda x, s, i: x0, noisy, sig)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-2)
+
+
+@pytest.mark.parametrize("sampler_name", ["DPM fast", "DPM++ 2M SDE"])
+def test_kdiff_family_converges_to_analytic(sampler_name):
+    """Linear denoiser den = a*x: x(sigma) = x0 * (sigma/sigma0)^(1-a).
+    DPM++ 2M SDE runs with eta=0 (pure ODE mode)."""
+    from mdu_tpu.samplers import SAMPLERS
+
+    a = 0.3
+    sch = NoiseSchedule()
+    fn = SAMPLERS[sampler_name]
+
+    def err(steps):
+        sigs = np.asarray(sch.sampling_sigmas(steps))[:-1]   # drop the 0
+        if sampler_name == "DPM++ 2M SDE":
+            out = fn(lambda x, s, i: a * x, jnp.full((1, 2, 2, 2), 5.0),
+                     jnp.asarray(sigs), jax.random.PRNGKey(0), eta=0.0)
+            analytic = 5.0 * (sigs[-1] / sigs[0]) ** (1 - a)
+        else:
+            # DPM fast integrates to sigmas[-2] then jumps x -> den = a*x
+            sig_in = jnp.asarray(np.concatenate([sigs, [0.0]]))
+            out = fn(lambda x, s, i: a * x, jnp.full((1, 2, 2, 2), 5.0), sig_in)
+            analytic = a * 5.0 * (sigs[-1] / sigs[0]) ** (1 - a)
+        return abs(float(np.asarray(out).reshape(-1)[0]) - analytic) / abs(analytic)
+
+    e60, e240 = err(60), err(240)
+    assert e240 < e60 and e240 < 0.08, (e60, e240)
+
+
+def test_dpm_adaptive_linear_ode():
+    """Adaptive solver on the linear ODE: accurate and fewer NFE than the
+    max_iters bound (the controller accepts steps)."""
+    from mdu_tpu.samplers import sample_dpm_adaptive
+
+    a = 0.3
+    sig = np.asarray(NoiseSchedule().sampling_sigmas(50))
+    out = sample_dpm_adaptive(lambda x, s, i: a * x,
+                              jnp.full((1, 2, 2, 2), 5.0),
+                              jnp.asarray(sig), rtol=0.01, atol=1e-4)
+    analytic = a * 5.0 * (sig[-2] / sig[0]) ** (1 - a)   # incl. final jump
+    got = float(np.asarray(out).reshape(-1)[0])
+    assert abs(got - analytic) / abs(analytic) < 0.05, (got, analytic)
+
+
 def test_dpmpp_sde_linear_ode_convergence():
     """dx/dsigma = x/sigma has exact solution x(sn) = x(s) * sn/s; the
     denoiser for that ODE is den = 0.  DPM++ SDE with eta=0 must follow the
