@@ -72,6 +72,27 @@ USE_FLASH_ATTENTION = True
 FLASH_MIN_SEQ = 512
 
 
+def _flash_variant(D: int):
+    """Kernel layout choice, overridable via MDU_FLASH=lane|trans.
+
+    Measured on v5e (scripts/ab_bench.py --flash-t, 2026-08-16): the
+    transposed layout wins or ties at every non-lane-aligned head dim —
+    [16,8,9216,40] 43.1 vs 46.1 ms, [16,8,6144,64] 21.7 vs 23.3 ms,
+    [16,8,2304,80] 7.20 vs 7.32 ms — and is far less block-sensitive.
+    Lane-major stays for D % 128 == 0 (no pad either way).
+    """
+    import os
+
+    from .pallas import flash_attention, flash_attention_t
+
+    ov = os.environ.get("MDU_FLASH")
+    if ov == "lane":
+        return flash_attention
+    if ov == "trans":
+        return flash_attention_t
+    return flash_attention if D % 128 == 0 else flash_attention_t
+
+
 def multi_head_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     num_heads: int,
@@ -93,9 +114,7 @@ def multi_head_attention(
     qh, kh, vh = split(q, Lq), split(k, Lk), split(v, Lk)
     if (USE_FLASH_ATTENTION and _on_tpu()
             and Lq >= FLASH_MIN_SEQ and Lk >= FLASH_MIN_SEQ):
-        from .pallas import flash_attention
-
-        out = flash_attention(qh, kh, vh)
+        out = _flash_variant(D)(qh, kh, vh)
     elif q_chunk is not None:
         out = chunked_sdpa(qh, kh, vh, q_chunk=q_chunk)
     else:

@@ -30,7 +30,13 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                  *, scale: float, kv_len: int, block_k: int):
+                  *, scale: float, kv_pad: int):
+    """kv_pad: number of zero-padded kv rows.  Instead of masking scores
+    (an iota+compare+where over EVERY score element — pure VPU overhead on
+    every block), padded rows run as real scores of 0 and their exact total
+    contribution kv_pad·exp(−m_final) is subtracted from the softmax
+    denominator once at the end (their V rows are zero, so the accumulator
+    is untouched)."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -46,10 +52,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale          # [bq, bk]
 
-    # mask padded kv rows in the final block
-    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
-
     m_prev = m_ref[:]                  # [bq, 1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     p = jnp.exp(s - m_new)             # [bq, bk]
@@ -63,15 +65,28 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(ki == nk - 1)
     def _finish():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        l = l_ref[:]
+        if kv_pad:
+            l = l - kv_pad * jnp.exp(-m_ref[:])
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block(L: int, block: int) -> int:
+    """Block size along a sequence axis.  A single slightly-oversized block
+    beats two half-empty ones: for L=576 with block 512 the grid would pad
+    to 1024 rows (78% waste); one 640-row block pads only to 640."""
+    r = _round_up(L, 128)
+    if r <= block or r <= (block * 3) // 2:
+        return r
+    return block
+
+
 def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                    *, scale: float, kv_len: int, block_k: int):
+                    *, scale: float, kv_pad: int):
     """Transposed-layout body: blocks are [D, L] (D on sublanes, L on lanes).
 
     Rationale: SD UNet head dims are 40/80/160 — none a multiple of 128, so
@@ -80,7 +95,9 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     pad granularity is 16 (bf16), so the contraction length stays ~D:
       sᵀ[bk,bq] = Σ_d k[d,bk]·q[d,bq]   (K=Dp≈D instead of 128)
       accᵀ[D,bq] += v[d,bk]·p[bk,bq]    (same MXU cost as lane-major PV)
-    Online softmax runs over the sublane (kv) axis of sᵀ.
+    Online softmax runs over the sublane (kv) axis of sᵀ.  Padded kv rows
+    are handled by the closed-form denominator correction (see
+    _flash_kernel) rather than per-element masking.
     """
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -97,10 +114,6 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         kt, qt, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale          # [bk, bq]
 
-    # mask padded kv rows (sublane axis) in the final block
-    row = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
-    st = jnp.where(row < kv_len, st, NEG_INF)
-
     m_prev = m_ref[:]                  # [1, bq]
     m_new = jnp.maximum(m_prev, jnp.max(st, axis=0, keepdims=True))
     p = jnp.exp(st - m_new)            # [bk, bq]
@@ -114,7 +127,10 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(ki == nk - 1)
     def _finish():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        l = l_ref[:]
+        if kv_pad:
+            l = l - kv_pad * jnp.exp(-m_ref[:])
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
@@ -136,8 +152,8 @@ def flash_attention_t(
     if scale is None:
         scale = D ** -0.5
 
-    bq = min(block_q, _round_up(Lq, 128))
-    bk = min(block_k, _round_up(Lk, 128))
+    bq = _pick_block(Lq, block_q)
+    bk = _pick_block(Lk, block_k)
     Dp = _round_up(D, 16)
     Lqp = _round_up(Lq, bq)
     Lkp = _round_up(Lk, bk)
@@ -151,7 +167,7 @@ def flash_attention_t(
 
     grid = (B * H, Lqp // bq, Lkp // bk)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel_t, scale=scale, kv_len=Lk, block_k=bk),
+        functools.partial(_flash_kernel_t, scale=scale, kv_pad=Lkp - Lk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, Dp, bq), lambda b, qi, ki: (b, 0, qi)),
@@ -184,8 +200,8 @@ def flash_attention(
     if scale is None:
         scale = D ** -0.5
 
-    bq = min(block_q, _round_up(Lq, 128))
-    bk = min(block_k, _round_up(Lk, 128))
+    bq = _pick_block(Lq, block_q)
+    bk = _pick_block(Lk, block_k)
     Dp = _round_up(D, 128)
     Lqp = _round_up(Lq, bq)
     Lkp = _round_up(Lk, bk)
@@ -198,7 +214,7 @@ def flash_attention(
 
     grid = (B * H, Lqp // bq, Lkp // bk)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=Lk, block_k=bk),
+        functools.partial(_flash_kernel, scale=scale, kv_pad=Lkp - Lk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, Dp), lambda b, qi, ki: (b, qi, 0)),

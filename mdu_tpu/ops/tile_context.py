@@ -59,9 +59,15 @@ def tile_group_norm(
     ``x`` is [(T*B), C, h, w] with the tile index major.  Without a context
     this is a plain per-sample GroupNorm.
     """
-    from .groupnorm import apply_group_norm, group_norm, group_stats
+    from .groupnorm import (apply_group_norm, group_norm,
+                            group_norm_chanreduce, group_stats)
 
     if ctx is None:
+        import os
+
+        # MDU_GN=chanreduce: per-channel-moment formulation (A/B, TUNING.md)
+        if os.environ.get("MDU_GN") == "chanreduce":
+            return group_norm_chanreduce(x, num_groups, weight, bias, eps)
         return group_norm(x, num_groups, weight, bias, eps)
 
     TB, C, h, w = x.shape

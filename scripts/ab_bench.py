@@ -92,6 +92,19 @@ def bench_flash_t():
                 print(f"[{B},{H},{L},{D}] {name} bq={bq} bk={bk}: {ms:6.2f} ms "
                       f"({fl/ms/1e9:.0f} useful TFLOP/s)", flush=True)
 
+    # cross-attention: long queries, 77 kv tokens (sdpa materializes the
+    # [B,H,L,77] fp32 score tensor in HBM; flash keeps it in VMEM)
+    from mdu_tpu.ops.attention import sdpa
+
+    for (H, L, D) in ((8, 6144, 40), (8, 1536, 80)):
+        q = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D), dt)
+        kv = jax.random.normal(jax.random.PRNGKey(2), (B, H, 77, D), dt)
+        for name, fn in (("sdpa ", lambda a, b, c: sdpa(a, b, c)),
+                         ("lane ", flash_attention),
+                         ("trans", flash_attention_t)):
+            ms = chain(lambda c, fn=fn: fn(c, kv, kv), q)
+            print(f"xattn [{B},{H},{L},{D}]x77 {name}: {ms:6.3f} ms", flush=True)
+
 
 def bench_pipeline(flags):
     for k, v in flags.items():
@@ -139,7 +152,8 @@ if __name__ == "__main__":
     elif args.kernels:
         bench_kernels()
     else:
-        base = bench_pipeline({"MDU_FUSED_GN": "0", "MDU_FUSED_BLEND": "0"})
-        gn = bench_pipeline({"MDU_FUSED_GN": "1", "MDU_FUSED_BLEND": "0"})
-        both = bench_pipeline({"MDU_FUSED_GN": "1", "MDU_FUSED_BLEND": "1"})
-        print(f"baseline {base:.2f}s | +fused_gn {gn:.2f}s | +fused_blend {both:.2f}s")
+        lane = bench_pipeline({"MDU_FLASH": "lane", "MDU_GN": ""})
+        trans = bench_pipeline({"MDU_FLASH": "trans", "MDU_GN": ""})
+        cr = bench_pipeline({"MDU_FLASH": "trans", "MDU_GN": "chanreduce"})
+        print(f"flash=lane {lane:.2f}s | flash=trans {trans:.2f}s "
+              f"| +GN chanreduce {cr:.2f}s")
