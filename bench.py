@@ -123,7 +123,10 @@ def bench_vae(pipe):
     from mdu_tpu.config import TiledVAEConfig
     from mdu_tpu.models.vae import sample_from_moments
 
-    tv = TiledVAEConfig(encoder_tile_size=1536, decoder_tile_size=96,
+    # encoder tile 1024: the largest exact-lockstep tile that fits the v5e's
+    # HBM for a 2048^2 image (1536 would trip the MDU_HBM_BYTES guard and
+    # stream host-side — fixed HBM but tunnel-bound on this setup)
+    tv = TiledVAEConfig(encoder_tile_size=1024, decoder_tile_size=96,
                         fast_decoder=False, fast_encoder=False)
     img = (np.random.default_rng(0).random((2048, 2048, 3)) * 255).astype(np.uint8)
     from mdu_tpu.utils.image import image_to_tensor
@@ -192,7 +195,7 @@ def bench_mod_upscale(pipe, cond, uncond):
                               scale_factor=4.0, noise_inverse=True,
                               noise_inverse_steps=10,
                               noise_inverse_renoise_strength=1.0)
-    tv = TiledVAEConfig(encoder_tile_size=1536, decoder_tile_size=96,
+    tv = TiledVAEConfig(encoder_tile_size=1024, decoder_tile_size=96,
                         fast_decoder=False, fast_encoder=False)
     sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
                        denoising_strength=0.4)
@@ -304,8 +307,10 @@ def main():
         RESULT["error"] = f"model build failed: {e!r}"
         emit_and_exit(0)
 
-    phases = [("config1-vae", lambda: bench_vae(pipe)),
-              ("config2-panorama", lambda: bench_panorama(pipe, cond, uncond)),
+    # primary metric first: a failure (e.g. HBM exhaustion) in a secondary
+    # config must not poison the headline number (round-2 postmortem)
+    phases = [("config2-panorama", lambda: bench_panorama(pipe, cond, uncond)),
+              ("config1-vae", lambda: bench_vae(pipe)),
               ("config3-mod-upscale", lambda: bench_mod_upscale(pipe, cond, uncond))]
     only = os.environ.get("MDU_BENCH_CONFIGS")      # e.g. "2" or "1,2"
     if only and "4" in only.split(","):

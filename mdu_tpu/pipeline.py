@@ -847,8 +847,36 @@ class DiffusionPipeline:
                              "linear")
         return tensor_to_image(np.clip(np.asarray(approx), -1.0, 1.0))
 
+    @staticmethod
+    def _lockstep_fits(which: str, tile_size: int, h: int, w: int, B: int) -> bool:
+        """HBM guard for the exact lockstep tiled-VAE mode: the TPU analogue
+        of the reference's VRAM-derived tile sizing (ref tilevae.py:79-99).
+        When the all-tiles-batched footprint would exceed the budget
+        (MDU_HBM_BYTES, default 10 GiB of the v5e's 16), the caller falls
+        back to the streaming exact mode instead of OOMing the chip."""
+        import os
+
+        from .tiling.tiled_vae import (DECODER_PAD, ENCODER_PAD,
+                                       lockstep_footprint_bytes, plan_vae_tiles)
+
+        pad = ENCODER_PAD if which == "encoder" else DECODER_PAD
+        plan = plan_vae_tiles(h, w, tile_size, pad)
+        if plan is None:
+            return True
+        budget = int(os.environ.get("MDU_HBM_BYTES", str(10 * 2 ** 30)))
+        return lockstep_footprint_bytes(which, tile_size, plan.num_tiles, B) <= budget
+
     def _decode_tensor(self, latents: jnp.ndarray,
                        tv: Optional[TiledVAEConfig]) -> jnp.ndarray:
+        if (tv is not None and tv.enabled and not tv.streaming
+                and not tv.fast_decoder and self.mesh is None
+                and not self._lockstep_fits("decoder", tv.decoder_tile_size,
+                                            latents.shape[2], latents.shape[3],
+                                            latents.shape[0])):
+            print("[Tiled VAE] exact lockstep decode exceeds the HBM budget; "
+                  "switching to streaming exact mode",
+                  file=__import__('sys').stderr)
+            tv = dataclasses.replace(tv, streaming=True)
         if tv is not None and tv.enabled and tv.streaming:
             from .tiling.streaming_vae import streaming_tiled_vae
 
@@ -881,6 +909,15 @@ class DiffusionPipeline:
         return self._cached_jit(jkey, builder)(self.vae_params, latents)
 
     def _encode(self, x_img: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> jnp.ndarray:
+        if (tv is not None and tv.enabled and not tv.streaming
+                and not tv.fast_encoder and self.mesh is None
+                and not self._lockstep_fits("encoder", tv.encoder_tile_size,
+                                            x_img.shape[2], x_img.shape[3],
+                                            x_img.shape[0])):
+            print("[Tiled VAE] exact lockstep encode exceeds the HBM budget; "
+                  "switching to streaming exact mode",
+                  file=__import__('sys').stderr)
+            tv = dataclasses.replace(tv, streaming=True)
         if tv is not None and tv.enabled and tv.streaming:
             from .tiling.streaming_vae import streaming_tiled_vae
 

@@ -152,6 +152,24 @@ def _estimate_stats(vae: AutoencoderKL, params: Any, x: jnp.ndarray,
     return mut["gn_stats"]
 
 
+def lockstep_footprint_bytes(which: str, tile_size: int, num_tiles: int,
+                             batch: int, dtype_bytes: int = 2) -> int:
+    """Rough peak-HBM estimate for the exact lockstep mode, which batches
+    every tile through the network at once.  The peak sits at the widest
+    full-resolution activation (128 channels for the SD VAE): input tile +
+    conv output + residual + one skip ≈ 4 live tensors.
+
+    The reference sizes its tiles from free VRAM instead
+    (ref tilevae.py:79-99); here the estimate drives an automatic fallback
+    to the streaming exact mode (fixed HBM) when lockstep would not fit.
+    """
+    if which == "encoder":
+        side = tile_size + 2 * ENCODER_PAD
+    else:
+        side = (tile_size + 2 * DECODER_PAD) * 8
+    return num_tiles * batch * 128 * side * side * dtype_bytes * 4
+
+
 def tiled_vae_decode(
     vae: AutoencoderKL, params: Any, z: jnp.ndarray,
     tile_size: int = 96, fast: bool = False, tile_batch: int = 8,

@@ -145,6 +145,19 @@ def test_region_seed_changes_noise_locally(pipe):
     assert np.abs(np.asarray(a.latents) - np.asarray(b.latents)).max() > 1e-4
 
 
+def test_hbm_guard_streams_exact_decode(pipe, monkeypatch):
+    """With a tiny MDU_HBM_BYTES budget the exact lockstep decode must
+    auto-switch to the streaming exact mode and produce the same image."""
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 32, 48))
+                    .astype(np.float32)) * 0.2
+    want = np.asarray(pipe._decode_tensor(z, TV))
+    monkeypatch.setenv("MDU_HBM_BYTES", "1")
+    pipe2 = DiffusionPipeline(pipe.unet, pipe.unet_params, pipe.vae,
+                              pipe.vae_params)   # fresh jit cache
+    got = np.asarray(pipe2._decode_tensor(z, TV))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
 def test_img2img_inpaint_mask(pipe, rng):
     """Masked redraw (A1111 semantics): mask==1 everywhere is a no-op;
     mask==0 everywhere pins the result to the init latent."""
