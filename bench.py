@@ -126,7 +126,7 @@ def bench_vae(pipe):
     # encoder tile 1024: the largest exact-lockstep tile that fits the v5e's
     # HBM for a 2048^2 image (1536 would trip the MDU_HBM_BYTES guard and
     # stream host-side — fixed HBM but tunnel-bound on this setup)
-    tv = TiledVAEConfig(encoder_tile_size=1024, decoder_tile_size=96,
+    tv = TiledVAEConfig(encoder_tile_size=1024, decoder_tile_size=64,
                         fast_decoder=False, fast_encoder=False)
     img = (np.random.default_rng(0).random((2048, 2048, 3)) * 255).astype(np.uint8)
     from mdu_tpu.utils.image import image_to_tensor
@@ -139,8 +139,10 @@ def bench_vae(pipe):
     t0 = time.time()
     n = 3
     for _ in range(n):
+        # sync each iteration: async dispatch would hold n workspaces in
+        # HBM at once (round-2 postmortem: 3 in-flight encodes OOM'd)
         moments = pipe._encode(x, tv)
-    jax.block_until_ready(moments)
+        jax.block_until_ready(moments)
     enc = 2048 * 2048 / 1e6 / ((time.time() - t0) / n)
 
     z = sample_from_moments(moments, jax.random.PRNGKey(0)) * pipe.vae.cfg.scaling_factor
@@ -149,7 +151,7 @@ def bench_vae(pipe):
     log(f"vae decode compile+1st: {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(n):
-        out = pipe._decode(z, tv)
+        out = pipe._decode(z, tv)      # _decode returns a synced np array
     dec = out.shape[1] * out.shape[2] / 1e6 / ((time.time() - t0) / n)
     RESULT["secondary"]["tiled_vae_encode_2048sq_mpix_s"] = round(enc, 2)
     RESULT["secondary"]["tiled_vae_decode_2048sq_mpix_s"] = round(dec, 2)
@@ -162,7 +164,7 @@ def bench_panorama(pipe, cond, uncond):
 
     td = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=96, tile_h=96,
                               overlap=48, tile_bs=8)
-    tv = TiledVAEConfig(decoder_tile_size=96, fast_decoder=False, fast_encoder=False)
+    tv = TiledVAEConfig(decoder_tile_size=64, fast_decoder=False, fast_encoder=False)
     sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0)
 
     def run(seed):
@@ -195,7 +197,7 @@ def bench_mod_upscale(pipe, cond, uncond):
                               scale_factor=4.0, noise_inverse=True,
                               noise_inverse_steps=10,
                               noise_inverse_renoise_strength=1.0)
-    tv = TiledVAEConfig(encoder_tile_size=1024, decoder_tile_size=96,
+    tv = TiledVAEConfig(encoder_tile_size=1024, decoder_tile_size=64,
                         fast_decoder=False, fast_encoder=False)
     sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
                        denoising_strength=0.4)

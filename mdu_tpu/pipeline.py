@@ -760,6 +760,9 @@ class DiffusionPipeline:
         steps_arr = jnp.arange(steps)
 
         def run(uparams, cond, x):
+            # f32 carry: sigma arithmetic promotes to f32, and a bf16
+            # init_latent would make the scan carry dtype-unstable
+            x = x.astype(jnp.float32)
             model_fn = self._model_fn(uparams)
 
             def eps_tile(flat, sigma, step, bboxes, batch_i):

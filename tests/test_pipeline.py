@@ -118,6 +118,32 @@ def test_img2img_noise_inversion_and_cache(pipe, rng):
     assert pipe.noise_inverse_cache is None
 
 
+def test_img2img_noise_inversion_bf16(rng):
+    """bf16 weights + bf16 encoder output through noise inversion (the TPU
+    configuration): the inversion scan must keep a dtype-stable carry
+    (regression: bf16 init_latent vs f32-promoted output carry)."""
+    dt = jnp.bfloat16
+    ucfg = tiny_unet_config()
+    unet = UNet2DCondition(ucfg, dtype=dt)
+    vae = AutoencoderKL(tiny_vae_config(), dtype=dt)
+    up = jax.tree.map(lambda a: a.astype(dt),
+                      random_params(unet, 0, jnp.zeros((1, 4, 16, 16)),
+                                    jnp.zeros((1,)), jnp.zeros((1, 7, 16))))
+    vp = jax.tree.map(lambda a: a.astype(dt),
+                      random_params(vae, 1, jnp.zeros((1, 3, 64, 64)),
+                                    jax.random.PRNGKey(0)))
+    bpipe = DiffusionPipeline(unet, up, vae, vp)
+    img = (rng.uniform(0, 255, size=(64, 64, 3))).astype(np.uint8)
+    td = dataclasses.replace(
+        TD, upscaler="Lanczos", scale_factor=2.0,
+        noise_inverse=True, noise_inverse_steps=2,
+        noise_inverse_renoise_strength=0.5, noise_inverse_renoise_kernel=8)
+    cond = {"crossattn": jnp.zeros((1, 7, 16), dt)}
+    res = bpipe.img2img(img, cond, cond, sampler=SAMPLER, seed=9,
+                        tiled_diffusion=td, decode=False)
+    assert np.isfinite(np.asarray(res.latents, np.float32)).all()
+
+
 def test_regional_prompts(pipe):
     regions = [
         RegionSpec(0.0, 0.0, 0.5, 1.0, "left cat", seed=111),
