@@ -153,9 +153,20 @@ def bench_vae(pipe):
     for _ in range(n):
         out = pipe._decode(z, tv)      # _decode returns a synced np array
     dec = out.shape[1] * out.shape[2] / 1e6 / ((time.time() - t0) / n)
+
+    # compute-only rate: the e2e number above includes pulling the 50 MB
+    # image back through the remote-TPU tunnel (~no PCIe here); time the
+    # on-device decode separately
+    t0 = time.time()
+    for _ in range(n):
+        outd = pipe._decode_tensor(z, tv)
+        jax.block_until_ready(outd)
+    dec_dev = outd.shape[2] * outd.shape[3] / 1e6 / ((time.time() - t0) / n)
     RESULT["secondary"]["tiled_vae_encode_2048sq_mpix_s"] = round(enc, 2)
     RESULT["secondary"]["tiled_vae_decode_2048sq_mpix_s"] = round(dec, 2)
-    log(f"config 1: encode {enc:.2f} Mpix/s, decode {dec:.2f} Mpix/s")
+    RESULT["secondary"]["tiled_vae_decode_2048sq_device_mpix_s"] = round(dec_dev, 2)
+    log(f"config 1: encode {enc:.2f} Mpix/s, decode {dec:.2f} Mpix/s "
+        f"(device-only {dec_dev:.2f})")
 
 
 def bench_panorama(pipe, cond, uncond):

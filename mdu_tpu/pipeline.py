@@ -851,44 +851,68 @@ class DiffusionPipeline:
         return tensor_to_image(np.clip(np.asarray(approx), -1.0, 1.0))
 
     @staticmethod
-    def _lockstep_fits(which: str, tile_size: int, h: int, w: int, B: int) -> bool:
-        """HBM guard for the exact lockstep tiled-VAE mode: the TPU analogue
-        of the reference's VRAM-derived tile sizing (ref tilevae.py:79-99).
-        When the all-tiles-batched footprint would exceed the budget
-        (MDU_HBM_BYTES, default 10 GiB of the v5e's 16), the caller falls
-        back to the streaming exact mode instead of OOMing the chip."""
+    def _exact_vae_mode(which: str, tile_size: int, h: int, w: int, B: int,
+                        group: int) -> str:
+        """HBM guard for the exact tiled-VAE modes — the TPU analogue of the
+        reference's VRAM-derived tile sizing (ref tilevae.py:79-99).
+
+        'lockstep'      — all tiles batched through the whole net (fastest),
+        'stream-device' — tiles stay in HBM, segments run per group (exact,
+                          peak = one layer of all tiles + one group; the
+                          4-6K range),
+        'stream-host'   — tiles host-resident between segments (exact, fixed
+                          HBM; the 8K range).
+        Budget: MDU_HBM_BYTES, default 10 GiB of the v5e's 16.
+        """
         import os
 
         from .tiling.tiled_vae import (DECODER_PAD, ENCODER_PAD,
-                                       lockstep_footprint_bytes, plan_vae_tiles)
+                                       lockstep_footprint_bytes,
+                                       plan_vae_tiles,
+                                       streaming_device_footprint_bytes)
 
         pad = ENCODER_PAD if which == "encoder" else DECODER_PAD
         plan = plan_vae_tiles(h, w, tile_size, pad)
         if plan is None:
-            return True
+            return "lockstep"
         budget = int(os.environ.get("MDU_HBM_BYTES", str(10 * 2 ** 30)))
-        return lockstep_footprint_bytes(which, tile_size, plan.num_tiles, B) <= budget
+        if lockstep_footprint_bytes(which, tile_size, plan.num_tiles, B) <= budget:
+            return "lockstep"
+        if streaming_device_footprint_bytes(which, tile_size, plan.num_tiles,
+                                            B, group) <= budget:
+            return "stream-device"
+        return "stream-host"
+
+    def _stream_vae(self, which: str, arr: jnp.ndarray,
+                    tv: TiledVAEConfig, host_resident: bool):
+        from .tiling.streaming_vae import streaming_tiled_vae
+
+        ts = tv.encoder_tile_size if which == "encoder" else tv.decoder_tile_size
+        return streaming_tiled_vae(self.vae, self.vae_params, arr, which, ts,
+                                   tv.tile_batch, host_resident=host_resident)
 
     def _decode_tensor(self, latents: jnp.ndarray,
                        tv: Optional[TiledVAEConfig]) -> jnp.ndarray:
-        if (tv is not None and tv.enabled and not tv.streaming
-                and not tv.fast_decoder and self.mesh is None
-                and not self._lockstep_fits("decoder", tv.decoder_tile_size,
-                                            latents.shape[2], latents.shape[3],
-                                            latents.shape[0])):
-            print("[Tiled VAE] exact lockstep decode exceeds the HBM budget; "
-                  "switching to streaming exact mode",
-                  file=__import__('sys').stderr)
-            tv = dataclasses.replace(tv, streaming=True)
         if tv is not None and tv.enabled and tv.streaming:
-            from .tiling.streaming_vae import streaming_tiled_vae
-
-            out = streaming_tiled_vae(self.vae, self.vae_params,
-                                      latents / self.vae.cfg.scaling_factor,
-                                      "decoder", tv.decoder_tile_size,
-                                      tv.tile_batch)
+            out = self._stream_vae("decoder",
+                                   latents / self.vae.cfg.scaling_factor,
+                                   tv, host_resident=True)
             if out is not None:
                 return out
+        elif (tv is not None and tv.enabled and not tv.fast_decoder
+                and self.mesh is None):
+            mode = self._exact_vae_mode("decoder", tv.decoder_tile_size,
+                                        latents.shape[2], latents.shape[3],
+                                        latents.shape[0], tv.tile_batch)
+            if mode != "lockstep":
+                print(f"[Tiled VAE] exact lockstep decode exceeds the HBM "
+                      f"budget; switching to {mode} exact mode",
+                      file=__import__('sys').stderr)
+                out = self._stream_vae(
+                    "decoder", latents / self.vae.cfg.scaling_factor, tv,
+                    host_resident=(mode == "stream-host"))
+                if out is not None:
+                    return out
 
         def builder():
             def run(vp, z):
@@ -912,23 +936,23 @@ class DiffusionPipeline:
         return self._cached_jit(jkey, builder)(self.vae_params, latents)
 
     def _encode(self, x_img: jnp.ndarray, tv: Optional[TiledVAEConfig]) -> jnp.ndarray:
-        if (tv is not None and tv.enabled and not tv.streaming
-                and not tv.fast_encoder and self.mesh is None
-                and not self._lockstep_fits("encoder", tv.encoder_tile_size,
-                                            x_img.shape[2], x_img.shape[3],
-                                            x_img.shape[0])):
-            print("[Tiled VAE] exact lockstep encode exceeds the HBM budget; "
-                  "switching to streaming exact mode",
-                  file=__import__('sys').stderr)
-            tv = dataclasses.replace(tv, streaming=True)
         if tv is not None and tv.enabled and tv.streaming:
-            from .tiling.streaming_vae import streaming_tiled_vae
-
-            out = streaming_tiled_vae(self.vae, self.vae_params, x_img,
-                                      "encoder", tv.encoder_tile_size,
-                                      tv.tile_batch)
+            out = self._stream_vae("encoder", x_img, tv, host_resident=True)
             if out is not None:
                 return out
+        elif (tv is not None and tv.enabled and not tv.fast_encoder
+                and self.mesh is None):
+            mode = self._exact_vae_mode("encoder", tv.encoder_tile_size,
+                                        x_img.shape[2], x_img.shape[3],
+                                        x_img.shape[0], tv.tile_batch)
+            if mode != "lockstep":
+                print(f"[Tiled VAE] exact lockstep encode exceeds the HBM "
+                      f"budget; switching to {mode} exact mode",
+                      file=__import__('sys').stderr)
+                out = self._stream_vae("encoder", x_img, tv,
+                                       host_resident=(mode == "stream-host"))
+                if out is not None:
+                    return out
 
         def builder():
             def run(vp, x):

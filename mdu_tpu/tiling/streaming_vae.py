@@ -179,8 +179,17 @@ def streaming_tiled_vae(
     which: str = "decoder",
     tile_size: int = 96,
     group_size: int = 4,
+    host_resident: bool = True,
 ) -> Optional[jnp.ndarray]:
-    """Exact tiled decode/encode with host-resident tiles.
+    """Exact tiled decode/encode with bounded live activations.
+
+    ``host_resident=True`` — tiles live in host memory between segments (the
+    8K path: fixed HBM, pays host<->device traffic per segment).
+    ``host_resident=False`` — tiles stay in HBM between segments; only one
+    group's *working set* is live inside a segment, so the peak is
+    one-layer-of-all-tiles + one group's activations.  Covers the 4-6K
+    range where all-layers lockstep would OOM but one layer still fits —
+    no host traffic at all.
 
     Returns None when the input is small enough to bypass tiling (caller
     should use the direct path).
@@ -195,11 +204,20 @@ def streaming_tiled_vae(
     # pad tile count to a group multiple; pad tiles have zero masks
     Tp = -(-T // group_size) * group_size
 
-    # host-resident tiles [Tp*B, C, th, tw] (numpy)
-    xnp = np.asarray(x)
-    xs = np.zeros((Tp * B, x.shape[1], plan.in_h, plan.in_w), xnp.dtype)
-    for t, (oy, ox) in enumerate(plan.in_origins):
-        xs[t * B:(t + 1) * B] = xnp[:, :, oy:oy + plan.in_h, ox:ox + plan.in_w]
+    # gather tiles [Tp*B, C, th, tw]
+    if host_resident:
+        xnp = np.asarray(x)
+        xs = np.zeros((Tp * B, x.shape[1], plan.in_h, plan.in_w), xnp.dtype)
+        for t, (oy, ox) in enumerate(plan.in_origins):
+            xs[t * B:(t + 1) * B] = xnp[:, :, oy:oy + plan.in_h, ox:ox + plan.in_w]
+    else:
+        xs = jnp.concatenate(
+            [jax.lax.dynamic_slice(
+                x, (0, 0, oy, ox),
+                (B, x.shape[1], plan.in_h, plan.in_w))
+             for (oy, ox) in plan.in_origins]
+            + [jnp.zeros((B * (Tp - T), x.shape[1], plan.in_h, plan.in_w),
+                         x.dtype)] * (1 if Tp > T else 0), axis=0)
     masks = plan.local_masks()                              # [T,1,th,tw]
     masks = np.concatenate(
         [masks, np.zeros((Tp - T,) + masks.shape[1:], np.float32)], axis=0)
@@ -219,9 +237,13 @@ def streaming_tiled_vae(
 
     n_groups = Tp // group_size
     rows = group_size * B
-    cur: List[np.ndarray] = [xs[g * rows:(g + 1) * rows] for g in range(n_groups)]
-    res: List[Optional[np.ndarray]] = [None] * n_groups
-    gmasks = [masks[g * rows:(g + 1) * rows] for g in range(n_groups)]
+    cur: List[Any] = [xs[g * rows:(g + 1) * rows] for g in range(n_groups)]
+    res: List[Optional[Any]] = [None] * n_groups
+    if host_resident:
+        gmasks = [masks[g * rows:(g + 1) * rows] for g in range(n_groups)]
+    else:
+        jm = jnp.asarray(masks)
+        gmasks = [jm[g * rows:(g + 1) * rows] for g in range(n_groups)]
 
     stats = None
     for si in range(len(spans)):
@@ -236,18 +258,29 @@ def streaming_tiled_vae(
             return seg_fns[si](jnp.asarray(cur[g]), r_in,
                                jnp.asarray(gmasks[g]), st_in)
 
-        # window-of-1 prefetch: group g+1's device work is enqueued before
-        # group g's host conversion blocks (the zigzag-swap overlap, but
-        # async-dispatch shaped)
-        pending = launch(0)
-        for g in range(n_groups):
-            nxt = launch(g + 1) if g + 1 < n_groups else None
-            xg, rg, pg = pending
-            cur[g] = np.asarray(xg)
-            res[g] = np.asarray(rg)
-            if pg is not None:
-                parts.append(pg)
-            pending = nxt
+        if host_resident:
+            # window-of-1 prefetch: group g+1's device work is enqueued
+            # before group g's host conversion blocks (the zigzag-swap
+            # overlap, but async-dispatch shaped)
+            pending = launch(0)
+            for g in range(n_groups):
+                nxt = launch(g + 1) if g + 1 < n_groups else None
+                xg, rg, pg = pending
+                cur[g] = np.asarray(xg)
+                res[g] = np.asarray(rg)
+                if pg is not None:
+                    parts.append(pg)
+                pending = nxt
+        else:
+            # device-resident: serialize groups so only one working set is
+            # live at a time (async dispatch would hold them all)
+            for g in range(n_groups):
+                xg, rg, pg = launch(g)
+                jax.block_until_ready(xg)
+                cur[g] = xg
+                res[g] = rg
+                if pg is not None:
+                    parts.append(pg)
         stats = _pool(parts, B) if parts else None
 
     # assemble owned regions into the output canvas

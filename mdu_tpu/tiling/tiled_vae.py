@@ -170,6 +170,19 @@ def lockstep_footprint_bytes(which: str, tile_size: int, num_tiles: int,
     return num_tiles * batch * 128 * side * side * dtype_bytes * 4
 
 
+def streaming_device_footprint_bytes(which: str, tile_size: int, num_tiles: int,
+                                     batch: int, group_size: int = 4,
+                                     dtype_bytes: int = 2) -> int:
+    """Peak-HBM estimate for device-resident grouped streaming: every tile's
+    CURRENT segment activation (one layer) + one group's working set."""
+    if which == "encoder":
+        side = tile_size + 2 * ENCODER_PAD
+    else:
+        side = (tile_size + 2 * DECODER_PAD) * 8
+    per_tile = 128 * side * side * dtype_bytes
+    return num_tiles * batch * per_tile + group_size * batch * per_tile * 4
+
+
 def tiled_vae_decode(
     vae: AutoencoderKL, params: Any, z: jnp.ndarray,
     tile_size: int = 96, fast: bool = False, tile_batch: int = 8,

@@ -145,6 +145,30 @@ def test_streaming_encode_matches_lockstep(vae_and_params):
                                rtol=3e-4, atol=3e-4)
 
 
+def test_device_resident_streaming_matches_lockstep(vae_and_params):
+    """Device-resident grouped streaming (host_resident=False: tiles stay in
+    HBM, segments run per group) == lockstep exact, decode and encode."""
+    from mdu_tpu.tiling.streaming_vae import streaming_tiled_vae
+
+    vae, params = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(11), (1, 4, 48, 48)) * 0.5
+    lockstep = jax.jit(lambda z: tiled_vae_decode(vae, params, z, tile_size=24))(z)
+    streamed = streaming_tiled_vae(vae, params, z, "decoder", tile_size=24,
+                                   group_size=2, host_resident=False)
+    assert streamed is not None
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(lockstep),
+                               rtol=2e-4, atol=2e-4)
+
+    x = jax.random.normal(jax.random.PRNGKey(12), (1, 3, 256, 256)) * 0.3
+    lock_e = jax.jit(lambda x: tiled_vae_encode_moments(vae, params, x,
+                                                        tile_size=128))(x)
+    stream_e = streaming_tiled_vae(vae, params, x, "encoder", tile_size=128,
+                                   group_size=2, host_resident=False)
+    assert stream_e is not None
+    np.testing.assert_allclose(np.asarray(stream_e), np.asarray(lock_e),
+                               rtol=3e-4, atol=3e-4)
+
+
 def test_streaming_bypass_small():
     from mdu_tpu.models import AutoencoderKL, random_params, tiny_vae_config
     from mdu_tpu.tiling.streaming_vae import streaming_tiled_vae
