@@ -174,13 +174,21 @@ def streaming_device_footprint_bytes(which: str, tile_size: int, num_tiles: int,
                                      batch: int, group_size: int = 4,
                                      dtype_bytes: int = 2) -> int:
     """Peak-HBM estimate for device-resident grouped streaming: every tile's
-    CURRENT segment activation (one layer) + one group's working set."""
+    CURRENT segment activation + the cross-segment residual copy (segments
+    split at every GroupNorm, i.e. mid-ResnetBlock, so the skip tensor for
+    ALL tiles persists across the boundary) + one group's working set."""
     if which == "encoder":
         side = tile_size + 2 * ENCODER_PAD
     else:
         side = (tile_size + 2 * DECODER_PAD) * 8
     per_tile = 128 * side * side * dtype_bytes
-    return num_tiles * batch * per_tile + group_size * batch * per_tile * 4
+    # multipliers set empirically on a v5e (16 GiB, ~11 usable beside a
+    # resident SD UNet): 3x all-tiles (current + residual + mixed-layer
+    # transition during upsample segments) + 8x one group (conv temps and
+    # fp32 GroupNorm intermediates).  2x/4x and 2x/8x both still OOM'd
+    # real 2560-3072px decodes.
+    return (3 * num_tiles * batch * per_tile
+            + group_size * batch * per_tile * 8)
 
 
 def tiled_vae_decode(
