@@ -164,12 +164,24 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = GroupNorm(self.groups, eps=1e-5, dtype=self.dtype, name="norm1")(x)
-        h = Conv2D(self.out_channels, dtype=self.dtype, name="conv1")(silu(h))
+        from .layers import _use_fused_conv
+
+        norm1 = GroupNorm(self.groups, eps=1e-5, dtype=self.dtype, name="norm1")
+        conv1 = Conv2D(self.out_channels, dtype=self.dtype, name="conv1")
+        norm2 = GroupNorm(self.groups, eps=1e-5, dtype=self.dtype, name="norm2")
+        conv2 = Conv2D(self.out_channels, dtype=self.dtype, name="conv2")
         t = Linear(self.out_channels, dtype=self.dtype, name="time_emb_proj")(silu(temb))
-        h = h + t[:, :, None, None]
-        h = GroupNorm(self.groups, eps=1e-5, dtype=self.dtype, name="norm2")(h)
-        h = Conv2D(self.out_channels, dtype=self.dtype, name="conv2")(silu(h))
+        if _use_fused_conv():
+            # normalize+silu fused INTO the conv kernel (one HBM pass)
+            a1, b1 = norm1(x, affine_only=True)
+            h = conv1(x, scale=a1, shift=b1)
+            h = h + t[:, :, None, None]
+            a2, b2 = norm2(h, affine_only=True)
+            h = conv2(h, scale=a2, shift=b2)
+        else:
+            h = conv1(silu(norm1(x)))
+            h = h + t[:, :, None, None]
+            h = conv2(silu(norm2(h)))
         if x.shape[1] != self.out_channels:
             x = Conv2D(self.out_channels, kernel_size=(1, 1), padding=0,
                        dtype=self.dtype, name="conv_shortcut")(x)

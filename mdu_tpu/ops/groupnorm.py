@@ -120,6 +120,35 @@ def group_norm(
     return apply_group_norm(x, num_groups, mean, var, weight, bias, eps)
 
 
+def group_norm_affine(
+    x: jnp.ndarray,
+    num_groups: int,
+    weight: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Folded GroupNorm affine: returns per-(batch, channel) f32 (a, b) with
+    group_norm(x) == x * a + b.  One reduction pass over x; the normalize
+    pass is left to the consumer (e.g. fused into a conv kernel)."""
+    B, C, H, W = x.shape
+    G = num_groups
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(2, 3))                     # [B, C]
+    s2 = jnp.sum(xf * xf, axis=(2, 3))
+    n = float(C // G * H * W)
+    gmean = jnp.sum(s1.reshape(B, G, C // G), axis=2) / n
+    gmeansq = jnp.sum(s2.reshape(B, G, C // G), axis=2) / n
+    var = jnp.maximum(gmeansq - gmean * gmean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    mu_c = jnp.repeat(gmean, C // G, axis=1)          # [B, C]
+    rstd_c = jnp.repeat(rstd, C // G, axis=1)
+    w = jnp.ones((C,), jnp.float32) if weight is None else weight.astype(jnp.float32)
+    b = jnp.zeros((C,), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    a_c = rstd_c * w[None, :]
+    b_c = b[None, :] - mu_c * a_c
+    return a_c, b_c
+
+
 def group_norm_chanreduce(
     x: jnp.ndarray,
     num_groups: int,

@@ -146,11 +146,16 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernels", action="store_true")
     ap.add_argument("--flash-t", action="store_true")
+    ap.add_argument("--fused-conv", action="store_true")
     args = ap.parse_args()
     if args.flash_t:
         bench_flash_t()
     elif args.kernels:
         bench_kernels()
+    elif args.fused_conv:
+        base = bench_pipeline({"MDU_FUSED_CONV": "0"})
+        fc = bench_pipeline({"MDU_FUSED_CONV": "1"})
+        print(f"baseline {base:.2f}s | +fused_conv {fc:.2f}s")
     else:
         lane = bench_pipeline({"MDU_FLASH": "lane", "MDU_GN": ""})
         trans = bench_pipeline({"MDU_FLASH": "trans", "MDU_GN": ""})

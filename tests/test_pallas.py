@@ -73,6 +73,60 @@ def test_flash_t_bf16(rng):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize("B,H,W,C,Co", [
+    (2, 8, 12, 16, 24),
+    (1, 7, 9, 8, 8),        # odd spatial dims (block padding path)
+])
+def test_conv3x3_matches_xla(rng, B, H, W, C, Co):
+    from mdu_tpu.ops.pallas.conv3x3 import fused_conv3x3
+
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, C, Co)).astype(np.float32)) * 0.1
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(x, w, (1, 1), ((1, 1), (1, 1)),
+                                        dimension_numbers=dn)
+    got = fused_conv3x3(x, w, interpret=True, block_h=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv3x3_fused_norm_silu(rng):
+    """conv(silu(x*a + b)) with the zero halo staying zero (the 'same'
+    padding is applied AFTER the activation, like the XLA chain)."""
+    from mdu_tpu.ops.pallas.conv3x3 import fused_conv3x3
+
+    B, H, W, C, Co = 2, 8, 12, 16, 24
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, C, Co)).astype(np.float32)) * 0.1
+    a = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32)) * 0.5 + 1.0
+    b = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32)) * 0.2
+    xf = x * a[:, None, None, :] + b[:, None, None, :]
+    xs = xf * jax.nn.sigmoid(xf)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(xs, w, (1, 1), ((1, 1), (1, 1)),
+                                        dimension_numbers=dn)
+    got = fused_conv3x3(x, w, a, b, fuse_act=True, interpret=True, block_h=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_resblock_fused_conv_path_matches_plain(rng, monkeypatch):
+    """UNet ResBlock with MDU_FUSED_CONV=interp == the plain XLA chain."""
+    from mdu_tpu.models import UNet2DCondition, random_params, tiny_unet_config
+
+    cfg = tiny_unet_config()
+    unet = UNet2DCondition(cfg)
+    x = jnp.asarray(rng.normal(size=(1, 4, 16, 16)).astype(np.float32))
+    t = jnp.asarray([5.0])
+    ctx = jnp.asarray(rng.normal(size=(1, 7, cfg.cross_attention_dim)).astype(np.float32))
+    params = random_params(unet, 0, x, t, ctx)
+    plain = unet.apply(params, x, t, ctx)
+    monkeypatch.setenv("MDU_FUSED_CONV", "interp")
+    fused = unet.apply(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_fused_tile_blend_matches_xla(rng):
     """Gather-formulated fused blend == scatter-add + divide reference."""
     from mdu_tpu.ops.fusion import scatter_add_tiles, weighted_average
