@@ -101,9 +101,17 @@ class Conv2D(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
 
-        if (scale is not None and (kh, kw) == (3, 3)
-                and self.strides == (1, 1) and self.padding == 1
-                and _use_fused_conv()):
+        fused_ok = (scale is not None and (kh, kw) == (3, 3)
+                    and self.strides == (1, 1) and self.padding == 1
+                    and x.shape[2] * x.shape[3] >= 64  # tiny spatial: XLA wins
+                    and max(in_c, self.features) <= 640  # 1280ch: XLA wins
+                    and _use_fused_conv())
+        if fused_ok:
+            from ..ops.pallas.conv3x3 import conv3x3_plan_fits
+
+            fused_ok = conv3x3_plan_fits(x.shape[2], x.shape[3],
+                                         in_c, self.features)
+        if fused_ok:
             from ..ops.pallas.conv3x3 import fused_conv3x3
 
             xh = x.astype(self.dtype).transpose(0, 2, 3, 1)       # NHWC
