@@ -195,11 +195,20 @@ def _dilated_cond(c, views, scale: int, hw: Tuple[int, int]):
         return None
     H, W = hw
     K = len(views)
+    f = LATENT_TO_PIXEL
 
     def slice_leaf(leaf):
         if leaf.ndim == 4 and leaf.shape[2:] == (H, W):
             return jnp.concatenate(
                 [leaf[:, :, oy::scale, ox::scale] for oy, ox in views], axis=0)
+        if leaf.ndim == 4 and leaf.shape[2:] == (H * f, W * f):
+            # pixel-space hints (ControlNet): a dilated view sees the whole
+            # canvas at 1/scale resolution, so give it the downsampled hint
+            # (the sub-latent-pixel view offsets are below hint resolution)
+            from ..ops.resize import resize_nchw
+
+            small = resize_nchw(leaf, (H // scale * f, W // scale * f), "linear")
+            return jnp.concatenate([small] * K, axis=0)
         return jnp.concatenate([leaf] * K, axis=0)
 
     return _map_cond(c, slice_leaf)

@@ -177,6 +177,39 @@ def test_demofusion_spatial_concat_cond():
     assert np.isfinite(np.asarray(res.latents)).all()
 
 
+def test_demofusion_controlnet_hint():
+    """Pixel-space ControlNet hints ride DemoFusion phases: resized with the
+    canvas, sliced per local window, downsampled per dilated global view
+    (regression: the global path replicated the full-canvas hint, giving
+    2x-sized residuals at phase scale 2)."""
+    from mdu_tpu.models import (AutoencoderKL, ControlNet, UNet2DCondition,
+                                random_params, tiny_unet_config, tiny_vae_config)
+    from mdu_tpu.pipeline import DiffusionPipeline
+
+    ucfg = tiny_unet_config()
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(tiny_vae_config())
+    cn = ControlNet(ucfg)
+    up = random_params(unet, 0, jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
+                       jnp.zeros((1, 7, ucfg.cross_attention_dim)))
+    vp = random_params(vae, 1, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
+    cp = random_params(cn, 2, jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
+                       jnp.zeros((1, 7, ucfg.cross_attention_dim)),
+                       jnp.zeros((1, 3, 128, 128)))
+    pipe = DiffusionPipeline(unet, up, vae, vp, controlnet=cn, controlnet_params=cp)
+
+    hint = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 128, 128)) * 0.1
+    cond = {"crossattn": jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16)) * 0.1,
+            "control": [hint]}
+    uncond = {"crossattn": jnp.zeros((1, 7, 16)), "control": [hint]}
+    cfg = dataclasses.replace(CFG, scale_factor=2)
+    res = pipe.demofusion(cond, uncond, 128, 128, cfg,
+                          SamplerConfig(steps=2, denoising_strength=0.6),
+                          seed=2, decode=False)
+    assert res.latents.shape == (1, 4, 32, 32)
+    assert np.isfinite(np.asarray(res.latents)).all()
+
+
 def test_demofusion_sdxl_conds():
     """DemoFusion passes SDXL vector/time_ids conds through its view batching."""
     from mdu_tpu.models import (AutoencoderKL, UNet2DCondition, random_params,
