@@ -404,8 +404,11 @@ def demofusion_generate(
         sampler_fn = get_sampler(sp.name)
 
         def builder(plan=plan, t_enc=t_enc, sampler_fn=sampler_fn):
-            def run(uparams, c, u, sigmas, x, lat0, noise, jitter, skey):
-                guided, _ = pipe._make_guided(sp.cfg_scale, uparams)
+            def run(uparams, cnparams, c, u, sigmas, x, lat0, noise, jitter, skey):
+                # cnparams as a jit argument: _model_fn would otherwise close
+                # over self.controlnet_params and bake GBs of ControlNet
+                # weights into the HLO as constants (remote-compile killer)
+                guided, _ = pipe._make_guided(sp.cfg_scale, uparams, cnparams)
                 # per-step cooperative interruption, same as the tiled pipeline
                 den_fn = pipe._interruptible(make_demofusion_denoiser(
                     plan, cfg, guided, c, u, lat0, noise, t_enc, jitter))
@@ -422,14 +425,17 @@ def demofusion_generate(
                     cfg.cosine_scale_1, cfg.cosine_scale_2, cfg.cosine_scale_3,
                     cfg.sigma, cfg.gaussian_filter, cfg.mixture)
             runner = pipe._cached_jit(jkey, builder)
-            latents = runner(pipe.unet_params, c_phase, u_phase, sigmas, x,
+            latents = runner(pipe.unet_params, pipe.controlnet_params,
+                             c_phase, u_phase, sigmas, x,
                              lat0, noise, jitter, skey)
         else:
             run = builder()
             latents = jax.jit(
-                lambda up, sg, xx, l0, nz, jt, sk: run(up, c_phase, u_phase,
-                                                       sg, xx, l0, nz, jt, sk)
-            )(pipe.unet_params, sigmas, x, lat0, noise, jitter, skey)
+                lambda up, cp, sg, xx, l0, nz, jt, sk: run(up, cp, c_phase,
+                                                           u_phase, sg, xx,
+                                                           l0, nz, jt, sk)
+            )(pipe.unet_params, pipe.controlnet_params, sigmas, x, lat0,
+              noise, jitter, skey)
 
         latents = (latents - jnp.mean(latents)) / jnp.std(latents) * anchor_std + anchor_mean
         phases.append(latents)
