@@ -308,6 +308,7 @@ def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
     t0 = time.time()
     res = pipe.demofusion(cond, uncond, 1024, 1024, cfg, sp, seed=1,
                           tiled_vae=tv, decode=False)
+    jax.block_until_ready(res.latents)     # phases dispatch async
     RESULT["secondary"]["sdxl_demofusion_x3_s_per_image"] = round(time.time() - t0, 2)
 
 
