@@ -303,6 +303,7 @@ def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
     res = retry(lambda: pipe.demofusion(cond, uncond, 1024, 1024, cfg, sp,
                                         seed=0, tiled_vae=tv, decode=False),
                 "sdxl-demofusion")
+    jax.block_until_ready(res.latents)     # flush the async phase queue
     dt = time.time() - t0
     log(f"config 5 (incl. compile): {dt:.1f}s, final latent {res.latents.shape}")
     t0 = time.time()
