@@ -303,13 +303,14 @@ def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
     res = retry(lambda: pipe.demofusion(cond, uncond, 1024, 1024, cfg, sp,
                                         seed=0, tiled_vae=tv, decode=False),
                 "sdxl-demofusion")
-    jax.block_until_ready(res.latents)     # flush the async phase queue
+    np.asarray(res.latents)     # materialize: block_until_ready does not
+                                # reliably drain the axon queue (measured)
     dt = time.time() - t0
     log(f"config 5 (incl. compile): {dt:.1f}s, final latent {res.latents.shape}")
     t0 = time.time()
     res = pipe.demofusion(cond, uncond, 1024, 1024, cfg, sp, seed=1,
                           tiled_vae=tv, decode=False)
-    jax.block_until_ready(res.latents)     # phases dispatch async
+    np.asarray(res.latents)
     RESULT["secondary"]["sdxl_demofusion_x3_s_per_image"] = round(time.time() - t0, 2)
 
 
