@@ -23,12 +23,33 @@ from flax import traverse_util
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Load a flat name->ndarray state dict from a .safetensors file, or —
+    for the legacy pickle ``.ckpt`` format A1111 users still carry — via
+    torch.load(weights_only=True) (safe unpickling, no code execution)."""
+    if path.endswith(".ckpt"):
+        return _load_torch_ckpt(path)
     from safetensors import safe_open
 
     out = {}
     with safe_open(path, framework="numpy") as f:
         for k in f.keys():
             out[k] = f.get_tensor(k)
+    return out
+
+
+def _load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            f"{path}: legacy pickle .ckpt checkpoints need torch to load; "
+            "convert to .safetensors instead") from e
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    state = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    out = {}
+    for k, t in state.items():
+        if hasattr(t, "numpy"):
+            out[k] = t.float().numpy() if t.dtype == torch.bfloat16 else t.numpy()
     return out
 
 

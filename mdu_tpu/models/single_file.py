@@ -246,7 +246,10 @@ def load_single_file(path: str, dtype=None, schedule=None,
             v_state[dk] = t
 
     unet = UNet2DCondition(ucfg, dtype=dtype)
-    vae = AutoencoderKL(VAEConfig(), dtype=dtype)
+    # SDXL's VAE uses scaling_factor 0.13025 (vs 0.18215 for SD1/SD2); the
+    # diffusers-folder path reads it from vae/config.json, so mirror it here.
+    vcfg = VAEConfig(scaling_factor=0.13025) if arch == "sdxl" else VAEConfig()
+    vae = AutoencoderKL(vcfg, dtype=dtype)
 
     def shapes(module, *args):
         return jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *args))

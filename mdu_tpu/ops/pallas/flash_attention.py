@@ -67,7 +67,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     def _finish():
         l = l_ref[:]
         if kv_pad:
-            l = l - kv_pad * jnp.exp(-m_ref[:])
+            # Clamp: if every real score in a row is <= ~-80 after scaling,
+            # exp underflows and the corrected denominator could reach 0
+            # (inf/NaN out).  Never happens at SD logit scales, but a tiny
+            # floor costs nothing and keeps the kernel total.
+            l = jnp.maximum(l - kv_pad * jnp.exp(-m_ref[:]), 1e-30)
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
@@ -129,7 +133,8 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     def _finish():
         l = l_ref[:]
         if kv_pad:
-            l = l - kv_pad * jnp.exp(-m_ref[:])
+            # see _flash_kernel._finish: floor guards exp-underflow -> l==0
+            l = jnp.maximum(l - kv_pad * jnp.exp(-m_ref[:]), 1e-30)
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 

@@ -13,7 +13,7 @@ handled by `TileContext(axis_name='tiles')` (ops/tile_context.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

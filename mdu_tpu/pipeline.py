@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -108,7 +108,10 @@ def cond_fingerprint(cond) -> str:
 
 @dataclass
 class GenerationResult:
-    images: np.ndarray                 # uint8 [B, H, W, 3]
+    # uint8 [B, H, W, 3]; DemoFusion with keep_intermediate returns a list
+    # of such arrays, one per phase scale (ref tileglobal.py:240-253 emits
+    # every intermediate scale as an output batch entry).
+    images: Union[np.ndarray, List[np.ndarray], None]
     latents: jnp.ndarray
     seed: int
     info: Dict[str, Any]

@@ -46,7 +46,8 @@ import numpy as np
 from ..config import DemoFusionConfig, SamplerConfig
 from ..ops.blur import gaussian_blur_nchw
 from ..ops.resize import resize_nchw
-from ..samplers.samplers import STOCHASTIC_SAMPLERS, get_sampler
+from ..samplers.samplers import (STATIC_SIGMA_SAMPLERS, STOCHASTIC_SAMPLERS,
+                                 get_sampler)
 from ..utils.bbox import BBox
 from ..utils.grid import batch_bboxes
 
@@ -402,9 +403,16 @@ def demofusion_generate(
 
         x = lat0 + noise * sigmas[0]
         sampler_fn = get_sampler(sp.name)
+        sigmas_const = sigmas          # STATIC_SIGMA_SAMPLERS split host-side
 
-        def builder(plan=plan, t_enc=t_enc, sampler_fn=sampler_fn):
+        def builder(plan=plan, t_enc=t_enc, sampler_fn=sampler_fn,
+                    sigmas_const=sigmas_const):
             def run(uparams, cnparams, c, u, sigmas, x, lat0, noise, jitter, skey):
+                if sp.name in STATIC_SIGMA_SAMPLERS:
+                    # Restart/DPM fast/adaptive do host-side schedule math on
+                    # np.asarray(sigmas); bake the schedule in as a constant
+                    # (jkey carries the sigma tuple so phases don't collide)
+                    sigmas = sigmas_const
                 # cnparams as a jit argument: _model_fn would otherwise close
                 # over self.controlnet_params and bake GBs of ControlNet
                 # weights into the HLO as constants (remote-compile killer)
@@ -424,6 +432,8 @@ def demofusion_generate(
                     sp.name, sp.cfg_scale, uncond is None,
                     cfg.cosine_scale_1, cfg.cosine_scale_2, cfg.cosine_scale_3,
                     cfg.sigma, cfg.gaussian_filter, cfg.mixture)
+            if sp.name in STATIC_SIGMA_SAMPLERS:
+                jkey += (tuple(np.asarray(sigmas_const).tolist()),)
             runner = pipe._cached_jit(jkey, builder)
             latents = runner(pipe.unet_params, pipe.controlnet_params,
                              c_phase, u_phase, sigmas, x,

@@ -99,7 +99,8 @@ def plan_tiled_diffusion(
     overlap = clamp_overlap(tile_w, tile_h, overlap)
 
     import os
-    max_regions = int(os.environ.get("MDU_MAX_REGIONS", "8"))
+    # ref tilediffusion.py:81 defaults --md_max_regions to 16
+    max_regions = int(os.environ.get("MDU_MAX_REGIONS", "16"))
     valid = [r for r in regions if r.validate()]
     if len(valid) > max_regions:
         import sys

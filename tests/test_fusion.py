@@ -66,9 +66,11 @@ def test_feather_blend_reference_parity(rng):
     fm = np.abs(rng.normal(size=(1, 1, h, w))).astype(np.float32)
     fc = rng.integers(0, 3, size=(1, 1, h, w)).astype(np.float32)
 
-    # direct transcription (ref multidiffusion.py:211-216)
-    buf = np.where(fc > 1, fb / fc, fb)
-    msk = np.where(fc > 1, fm / fc, fm)
+    # direct transcription (ref multidiffusion.py:211-216); max(fc,1) keeps
+    # the dead branch of np.where from emitting divide-by-zero warnings
+    fc_safe = np.maximum(fc, 1.0)
+    buf = np.where(fc > 1, fb / fc_safe, fb)
+    msk = np.where(fc > 1, fm / fc_safe, fm)
     expect = np.where(fc > 0, x_out * (1 - msk) + buf * msk, x_out)
 
     got = feather_blend(jnp.asarray(x_out), jnp.asarray(fb), jnp.asarray(fm), jnp.asarray(fc))

@@ -160,146 +160,20 @@ def test_load_single_file_end_to_end(tmp_path, monkeypatch):
     """Synthesize a tiny LDM-named checkpoint and load it through
     load_single_file: every param must land (strict convert), and the
     pipeline must run one txt2img step."""
-    import jax
     import jax.numpy as jnp
     from flax import traverse_util
-    from safetensors.numpy import save_file
 
-    import mdu_tpu.models.unet as unet_mod
-    import mdu_tpu.models.vae as vae_mod
-    import mdu_tpu.models.clip as clip_mod
-    from mdu_tpu.models import (UNet2DCondition, AutoencoderKL, CLIPTextModel,
-                                random_params, tiny_unet_config,
-                                tiny_vae_config, tiny_clip_config,
-                                translate_clip_name, translate_unet_name,
-                                translate_vae_name)
+    from mdu_tpu.models import (tiny_clip_config, tiny_unet_config,
+                                tiny_vae_config)
     from mdu_tpu.models.single_file import load_single_file
 
+    from synth_ckpt import patch_tiny_configs, save_tiny_ldm_checkpoint
+
     ucfg, vcfg, ccfg = tiny_unet_config(), tiny_vae_config(), tiny_clip_config()
-    monkeypatch.setattr(unet_mod, "sd15_unet_config", lambda: ucfg)
-    monkeypatch.setattr(vae_mod, "VAEConfig", lambda: vcfg)
-    monkeypatch.setattr(clip_mod, "clip_l_config", lambda: ccfg)
-
-    unet = UNet2DCondition(ucfg)
-    vae = AutoencoderKL(vcfg)
-    clip = CLIPTextModel(ccfg)
-    up = random_params(unet, 0, jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
-                       jnp.zeros((1, 7, ucfg.cross_attention_dim)))
-    vp = random_params(vae, 1, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
-    cp = random_params(clip, 2, jnp.zeros((1, ccfg.max_length), jnp.int32))
-
-    # diffusers-key -> LDM-key reverse maps, built by enumerating LDM space
-    per = ucfg.layers_per_block + 1
-    n_in = 1 + len(ucfg.block_out_channels) * per - 1
-    ldm_unet_keys = ([f"{P}time_embed.{i}.{l}" for i in (0, 2) for l in ("weight", "bias")]
-                     + [f"{P}input_blocks.0.0.{l}" for l in ("weight", "bias")]
-                     + [f"{P}out.{i}.{l}" for i in (0, 2) for l in ("weight", "bias")])
-    for idx in range(1, 3 * len(ucfg.block_out_channels) + 1):
-        for l in ("weight", "bias"):
-            for rest in ("in_layers.0", "in_layers.2", "emb_layers.1",
-                         "out_layers.0", "out_layers.3", "skip_connection", "op"):
-                ldm_unet_keys.append(f"{P}input_blocks.{idx}.0.{rest}.{l}")
-            for sub in (1,):
-                for rest in ("norm", "proj_in", "proj_out"):
-                    ldm_unet_keys.append(f"{P}input_blocks.{idx}.{sub}.{rest}.{l}")
-                for d in range(2):
-                    for a in ("attn1", "attn2"):
-                        for pr in ("to_q", "to_k", "to_v"):
-                            ldm_unet_keys.append(
-                                f"{P}input_blocks.{idx}.{sub}.transformer_blocks.{d}.{a}.{pr}.weight")
-                        ldm_unet_keys.append(
-                            f"{P}input_blocks.{idx}.{sub}.transformer_blocks.{d}.{a}.to_out.0.{l}")
-                    for nm in ("norm1", "norm2", "norm3"):
-                        ldm_unet_keys.append(
-                            f"{P}input_blocks.{idx}.{sub}.transformer_blocks.{d}.{nm}.{l}")
-                    for ff in ("ff.net.0.proj", "ff.net.2"):
-                        ldm_unet_keys.append(
-                            f"{P}input_blocks.{idx}.{sub}.transformer_blocks.{d}.{ff}.{l}")
-    for idx in range(3 * len(ucfg.block_out_channels) + 4):
-        for l in ("weight", "bias"):
-            for rest in ("in_layers.0", "in_layers.2", "emb_layers.1",
-                         "out_layers.0", "out_layers.3", "skip_connection"):
-                ldm_unet_keys.append(f"{P}output_blocks.{idx}.0.{rest}.{l}")
-            for sub in (1, 2):
-                ldm_unet_keys.append(f"{P}output_blocks.{idx}.{sub}.conv.{l}")
-                for rest in ("norm", "proj_in", "proj_out"):
-                    ldm_unet_keys.append(f"{P}output_blocks.{idx}.{sub}.{rest}.{l}")
-                for d in range(2):
-                    for a in ("attn1", "attn2"):
-                        for pr in ("to_q", "to_k", "to_v"):
-                            ldm_unet_keys.append(
-                                f"{P}output_blocks.{idx}.{sub}.transformer_blocks.{d}.{a}.{pr}.weight")
-                        ldm_unet_keys.append(
-                            f"{P}output_blocks.{idx}.{sub}.transformer_blocks.{d}.{a}.to_out.0.{l}")
-                    for nm in ("norm1", "norm2", "norm3"):
-                        ldm_unet_keys.append(
-                            f"{P}output_blocks.{idx}.{sub}.transformer_blocks.{d}.{nm}.{l}")
-                    for ff in ("ff.net.0.proj", "ff.net.2"):
-                        ldm_unet_keys.append(
-                            f"{P}output_blocks.{idx}.{sub}.transformer_blocks.{d}.{ff}.{l}")
-    for sub in (0, 1, 2):
-        for l in ("weight", "bias"):
-            for rest in ("in_layers.0", "in_layers.2", "emb_layers.1",
-                         "out_layers.0", "out_layers.3", "norm", "proj_in", "proj_out"):
-                ldm_unet_keys.append(f"{P}middle_block.{sub}.{rest}.{l}")
-            for d in range(2):
-                for a in ("attn1", "attn2"):
-                    for pr in ("to_q", "to_k", "to_v"):
-                        ldm_unet_keys.append(
-                            f"{P}middle_block.{sub}.transformer_blocks.{d}.{a}.{pr}.weight")
-                    ldm_unet_keys.append(
-                        f"{P}middle_block.{sub}.transformer_blocks.{d}.{a}.to_out.0.{l}")
-                for nm in ("norm1", "norm2", "norm3"):
-                    ldm_unet_keys.append(f"{P}middle_block.{sub}.transformer_blocks.{d}.{nm}.{l}")
-                for ff in ("ff.net.0.proj", "ff.net.2"):
-                    ldm_unet_keys.append(f"{P}middle_block.{sub}.transformer_blocks.{d}.{ff}.{l}")
-    rev_unet = {}
-    for k in ldm_unet_keys:
-        dk = ldm_unet_key_to_diffusers(k, len(ucfg.block_out_channels),
-                                       ucfg.layers_per_block)
-        if dk is not None and dk not in rev_unet:
-            rev_unet[dk] = k
-
-    n_lv = len(vcfg.block_out_channels)
-    ldm_vae_keys = []
-    for coder, blocks in (("encoder", "down"), ("decoder", "up")):
-        for l in ("weight", "bias"):
-            ldm_vae_keys += [f"{V}{coder}.conv_in.{l}", f"{V}{coder}.conv_out.{l}",
-                             f"{V}{coder}.norm_out.{l}"]
-            for i in range(n_lv):
-                for j in range(4):
-                    for rest in ("norm1", "conv1", "norm2", "conv2", "nin_shortcut"):
-                        ldm_vae_keys.append(f"{V}{coder}.{blocks}.{i}.block.{j}.{rest}.{l}")
-                ldm_vae_keys.append(f"{V}{coder}.{blocks}.{i}.downsample.conv.{l}")
-                ldm_vae_keys.append(f"{V}{coder}.{blocks}.{i}.upsample.conv.{l}")
-            for b in ("block_1", "block_2"):
-                for rest in ("norm1", "conv1", "norm2", "conv2"):
-                    ldm_vae_keys.append(f"{V}{coder}.mid.{b}.{rest}.{l}")
-            for rest in ("q", "k", "v", "proj_out", "norm"):
-                ldm_vae_keys.append(f"{V}{coder}.mid.attn_1.{rest}.{l}")
-    ldm_vae_keys += [f"{V}quant_conv.{l}" for l in ("weight", "bias")]
-    ldm_vae_keys += [f"{V}post_quant_conv.{l}" for l in ("weight", "bias")]
-    rev_vae = {}
-    for k in ldm_vae_keys:
-        dk = ldm_vae_key_to_diffusers(k, n_lv)
-        if dk is not None and dk not in rev_vae:
-            rev_vae[dk] = k
-
-    state = {}
-    for name, leaf in traverse_util.flatten_dict(up["params"], sep="/").items():
-        state[rev_unet[translate_unet_name(name)]] = np.asarray(leaf)
-    for name, leaf in traverse_util.flatten_dict(vp["params"], sep="/").items():
-        state[rev_vae[translate_vae_name(name)]] = np.asarray(leaf)
-    for name, leaf in traverse_util.flatten_dict(cp["params"], sep="/").items():
-        state["cond_stage_model.transformer." + translate_clip_name(name)] = np.asarray(leaf)
-    # LDM VAE attention qkv live as 1x1 convs
-    for k in list(state):
-        if "attn_1" in k and k.endswith(("q.weight", "k.weight", "v.weight",
-                                         "proj_out.weight")):
-            state[k] = state[k][:, :, None, None]
+    patch_tiny_configs(monkeypatch, ucfg, vcfg, ccfg)
 
     ckpt = tmp_path / "tiny_sd.safetensors"
-    save_file(state, str(ckpt))
+    up = save_tiny_ldm_checkpoint(ckpt, ucfg, vcfg, ccfg)
 
     pipe, conditioner = load_single_file(str(ckpt))
     # loaded params match the originals exactly
