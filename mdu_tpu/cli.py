@@ -61,6 +61,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--overlap", type=int, default=48)
     p.add_argument("--tile-batch-size", type=int, default=4)
     p.add_argument("--no-tiled-diffusion", action="store_true")
+    p.add_argument("--deterministic", action="store_true",
+                   help="pad tile batches to a uniform shape so results are "
+                        "bitwise identical on any device-mesh size (costs up "
+                        "to tile_bs-1 padded tile computations per step)")
     # tiled VAE knobs (ref tilevae.py:79-99)
     p.add_argument("--vae-encoder-tile", type=int, default=1536)
     p.add_argument("--vae-decoder-tile", type=int, default=96)
@@ -182,6 +186,7 @@ def _configs(args):
             noise_inverse_retouch=getattr(args, "noise_inverse_retouch", 1.0),
             noise_inverse_renoise_strength=getattr(args, "noise_inverse_renoise_strength", 1.0),
             noise_inverse_renoise_kernel=getattr(args, "noise_inverse_renoise_kernel", 64),
+            deterministic=getattr(args, "deterministic", False),
         ).validate()
     tv = None
     if not args.no_tiled_vae:

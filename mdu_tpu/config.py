@@ -49,6 +49,12 @@ class TiledDiffusionConfig:
     noise_inverse_renoise_kernel: int = 64
     # ControlNet hint tiling
     control_tensor_cpu: bool = False
+    # Bitwise topology invariance (beyond the reference, BASELINE.md north
+    # star): pad every tile UNet batch to a uniform tile_bs so the compiled
+    # program shape is identical on 1 device and on any mesh — outputs become
+    # bitwise equal across device counts.  Costs up to tile_bs-1 padded tile
+    # computations per step, so off by default.
+    deterministic: bool = False
 
     def validate(self) -> "TiledDiffusionConfig":
         from .utils.grid import clamp_overlap

@@ -52,9 +52,6 @@ def make_sharded_tile_denoiser(
     T_pad = -(-T // n_dev) * n_dev
     is_mod = plan.method == Method.MIX_DIFF
 
-    offsets = np.array([[b.y, b.x] for b in plan.bboxes], np.int32)
-    offsets = np.concatenate(
-        [offsets, np.repeat(offsets[-1:], T_pad - T, axis=0)], axis=0)
     th, tw = plan.tile_h, plan.tile_w
 
     # per-tile scatter weight maps: MD = 1/0 contribution masks; MoD =
@@ -72,28 +69,21 @@ def make_sharded_tile_denoiser(
 
     weights = jnp.asarray(plan.weights)
 
-    def shard_body(tiles, offs, wmap, sigma, step):
-        # tiles [T_local, B, C, th, tw]; offs [T_local, 2]; wmap [T_local, th, tw]
+    def shard_body(tiles, wmap, sigma, step):
+        # tiles [T_local, B, C, th, tw]; wmap [T_local, th, tw]
         out = tile_denoise_flat(tiles, sigma)
-        B, C = out.shape[1], out.shape[2]
-        H, W = plan.h, plan.w
-        canvas = jnp.zeros((B, C, H, W), out.dtype)
-        # the accumulated canvas varies per device shard (vma typing)
-        canvas = jax.lax.pcast(canvas, ("tiles",), to="varying")
+        return out * wmap[:, None, None]
 
-        def add_tile(i, canvas):
-            y, x = offs[i, 0], offs[i, 1]
-            cur = jax.lax.dynamic_slice(canvas, (0, 0, y, x), (B, C, th, tw))
-            return jax.lax.dynamic_update_slice(
-                canvas, cur + out[i] * wmap[i][None, None], (0, 0, y, x))
-
-        canvas = jax.lax.fori_loop(0, out.shape[0], add_tile, canvas)
-        return jax.lax.psum(canvas, "tiles")
-
+    # Bitwise-deterministic fusion: the shard_map returns denoised tiles
+    # (sharded) instead of psum-ing partial canvases — psum's cross-device
+    # accumulation order is topology-dependent.  The scatter-add below runs
+    # replicated in bbox order, the exact op sequence of the single-device
+    # path, so results are bitwise identical for any device count (see
+    # tiling/schedulers.py::_make_sharded_grid).
     sharded = jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P("tiles"), P("tiles"), P("tiles"), P(), P()),
-        out_specs=P(),
+        in_specs=(P("tiles"), P("tiles"), P(), P()),
+        out_specs=P("tiles"),
     )
 
     def denoised_fn(x, sigma, step):
@@ -102,7 +92,10 @@ def make_sharded_tile_denoiser(
             jax.lax.slice(x, (0, 0, b.y, b.x), (B, C, b.y + th, b.x + tw))
             for b in plan.bboxes])
         tiles, = _pad_tiles_to(T_pad, [tiles])
-        buf = sharded(tiles, jnp.asarray(offsets), jnp.asarray(wmaps), sigma, step)
+        out = sharded(tiles, jnp.asarray(wmaps), sigma, step)
+        buf = jnp.zeros_like(x)
+        for t, b in enumerate(plan.bboxes):
+            buf = buf.at[:, :, b.y:b.y + b.h, b.x:b.x + b.w].add(out[t])
         if is_mod:
             return buf                       # weights pre-normalized into wmaps
         return jnp.where(weights > 1, buf / weights, buf)

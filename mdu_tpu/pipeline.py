@@ -445,7 +445,8 @@ class DiffusionPipeline:
         return plan_tiled_diffusion(
             td.method, h, w, tile_h=td.tile_h, tile_w=td.tile_w,
             overlap=td.overlap, tile_bs=td.tile_bs,
-            regions=td.regions, draw_background=td.draw_background)
+            regions=td.regions, draw_background=td.draw_background,
+            uniform_batches=td.deterministic)
 
     # --------------------------------------------------------------- txt2img
 

@@ -64,6 +64,9 @@ class DiffusionTilePlan:
     weights: Optional[np.ndarray] = None          # [1,1,h,w]
     tile_weights: Optional[np.ndarray] = None     # [th,tw] gaussian (MoD)
     region_weights: Tuple[Optional[np.ndarray], ...] = ()  # MoD custom BG
+    # pad every tile batch to exactly tile_bs (bitwise topology invariance;
+    # see TiledDiffusionConfig.deterministic)
+    uniform_batches: bool = False
 
     @property
     def num_batches(self) -> int:
@@ -73,7 +76,7 @@ class DiffusionTilePlan:
         """Hashable geometry key for jit-executable caching."""
         return (self.method, self.h, self.w, self.tile_h, self.tile_w,
                 self.overlap, self.tile_bs, self.draw_background,
-                self.bboxes, self.regions)
+                self.bboxes, self.regions, self.uniform_batches)
 
     @property
     def total_units(self) -> int:
@@ -91,6 +94,7 @@ def plan_tiled_diffusion(
     tile_bs: int = 4,
     regions: Sequence[RegionSpec] = (),
     draw_background: bool = True,
+    uniform_batches: bool = False,
 ) -> DiffusionTilePlan:
     """Build the static tile plan (ref init_grid_bbox/init_custom_bbox,
     abstractdiffusion.py:172-229 + method-specific weight init)."""
@@ -151,7 +155,8 @@ def plan_tiled_diffusion(
         overlap=overlap, tile_bs=tile_bs, draw_background=draw_background,
         bboxes=bboxes, batched=batched, regions=region_bboxes,
         weights=weights, tile_weights=tile_weights,
-        region_weights=tuple(region_weights))
+        region_weights=tuple(region_weights),
+        uniform_batches=uniform_batches)
 
 
 def _use_fused_blend():
@@ -261,9 +266,18 @@ def make_tiled_denoiser(
             for batch_i, bboxes in enumerate(plan.batched):
                 tiles = gather_tiles(x, bboxes)          # [K, B, C, th, tw]
                 K = tiles.shape[0]
-                flat = tiles.reshape(K * B, C, plan.tile_h, plan.tile_w)
-                out = tile_denoise(flat, sigma, step, bboxes, batch_i)
-                out = out.reshape(K, B, C, plan.tile_h, plan.tile_w)
+                Kp = plan.tile_bs if plan.uniform_batches else K
+                call_bboxes = bboxes
+                if Kp > K:
+                    # deterministic mode: pad the ragged batch to tile_bs so
+                    # every UNet call compiles to one shape — bitwise equal
+                    # to the sharded path's identically-padded chunks
+                    tiles = jnp.concatenate(
+                        [tiles, jnp.repeat(tiles[-1:], Kp - K, axis=0)], axis=0)
+                    call_bboxes = tuple(bboxes) + (bboxes[-1],) * (Kp - K)
+                flat = tiles.reshape(Kp * B, C, plan.tile_h, plan.tile_w)
+                out = tile_denoise(flat, sigma, step, call_bboxes, batch_i)
+                out = out.reshape(Kp, B, C, plan.tile_h, plan.tile_w)[:K]
                 if fused_grid:
                     all_out.append(out)
                     tidx += len(bboxes)
@@ -325,8 +339,26 @@ def _make_sharded_grid(plan: DiffusionTilePlan, mesh, sharded_tile_denoise,
 
     Returns ``grid_buf(x, sigma, step) -> [B,C,h,w]`` — the *accumulated*
     canvas (MultiDiffusion: raw scatter-add sums awaiting the weight divide;
-    MoD: pre-normalized).  Padding tiles (repeats of the last tile) carry
-    zero weight maps, so they contribute nothing to the psum.
+    MoD: pre-normalized).
+
+    **Bitwise-deterministic fusion** (BASELINE.md north star): the UNet work
+    shards over the mesh, but the shard_map returns the *denoised tiles*
+    (out_specs sharded on the tile axis) rather than psum-ing partial
+    canvases — psum's cross-device accumulation order depends on topology
+    and regroups float adds.  The scatter-add then runs replicated, in bbox
+    order, with exactly the op sequence of the single-device loop above, so
+    the *fusion* is bitwise identical to the single-device result and
+    invariant to device count (XLA inserts the all_gather at the sharding
+    boundary; gathering T tiles costs the same traffic class as psum-ing
+    n_dev canvases at SD overlap ratios).
+
+    End-to-end bitwise equality additionally needs every UNet call to
+    compile to the same program: XLA is not batch-shape invariant at the
+    last ulp, and the per-device chunking can leave a different ragged tail
+    than the single-device batching.  ``plan.uniform_batches`` (the
+    ``deterministic`` config flag) pads every chunk to exactly ``tile_bs``
+    on both paths, which makes sharded == single-device bitwise for any
+    device count (asserted by tests/test_sharded_pipeline.py).
     """
     import jax
     from jax.sharding import PartitionSpec as P
@@ -336,13 +368,6 @@ def _make_sharded_grid(plan: DiffusionTilePlan, mesh, sharded_tile_denoise,
     T_pad = -(-T // n_dev) * n_dev
     t_local = T_pad // n_dev
     th, tw = plan.tile_h, plan.tile_w
-
-    offsets = np.array([[b.y, b.x] for b in plan.bboxes], np.int32)
-    offsets = np.concatenate(
-        [offsets, np.repeat(offsets[-1:], T_pad - T, axis=0)], axis=0)
-    wmaps = ptw_np if ptw_np is not None else np.ones((T, th, tw), np.float32)
-    wmaps = np.concatenate(
-        [wmaps, np.zeros((T_pad - T, th, tw), np.float32)], axis=0)
 
     def _pad_tiles(a):
         if T_pad == T:
@@ -358,40 +383,53 @@ def _make_sharded_grid(plan: DiffusionTilePlan, mesh, sharded_tile_denoise,
         conds = jax.tree.map(_pad_tiles, conds)
         cond_specs = jax.tree.map(lambda _: P("tiles"), conds)
 
-        def body(tiles_l, offs_l, wm_l, conds_l):
+        def body(tiles_l, conds_l):
             # tiles_l [t_local,B,C,th,tw]; sigma/step/params enter by closure
             # (replicated).  Denoise in tile_bs-sized chunks to bound HBM —
             # the same per-call batch the unsharded path uses.
             outs = []
             for s0 in range(0, t_local, plan.tile_bs):
                 s1 = min(t_local, s0 + plan.tile_bs)
-                flat = tiles_l[s0:s1].reshape((s1 - s0) * B, C, th, tw)
+                k = s1 - s0
+                kp = plan.tile_bs if plan.uniform_batches else k
+                chunk = tiles_l[s0:s1]
                 # explicit leading size: -1 can't be inferred for
                 # zero-element leaves (e.g. a [.,0,h,w] txt2img concat)
+                cchunk = jax.tree.map(lambda l, a=s0, b=s1: l[a:b], conds_l)
+                if kp > k:
+                    # deterministic mode: uniform tile_bs batch, same shape
+                    # as the single-device path's padded calls
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.repeat(chunk[-1:], kp - k, axis=0)], axis=0)
+                    cchunk = jax.tree.map(
+                        lambda l: jnp.concatenate(
+                            [l, jnp.repeat(l[-1:], kp - k, axis=0)], axis=0),
+                        cchunk)
+                flat = chunk.reshape(kp * B, C, th, tw)
                 cchunk = jax.tree.map(
-                    lambda l, a=s0, b=s1: l[a:b].reshape(
-                        ((b - a) * l.shape[1],) + l.shape[2:]), conds_l)
+                    lambda l: l.reshape((kp * l.shape[1],) + l.shape[2:]), cchunk)
                 outs.append(sharded_tile_denoise(flat, sigma, step, cchunk)
-                            .reshape(s1 - s0, B, C, th, tw))
-            out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-            out = out * wm_l[:, None, None]
+                            .reshape(kp, B, C, th, tw)[:k])
+            return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
-            canvas = jnp.zeros((B, C, plan.h, plan.w), out.dtype)
-            # the partial canvas varies per device shard (vma typing)
-            canvas = jax.lax.pcast(canvas, ("tiles",), to="varying")
-
-            def add_tile(i, cv):
-                y, xo = offs_l[i, 0], offs_l[i, 1]
-                cur = jax.lax.dynamic_slice(cv, (0, 0, y, xo), (B, C, th, tw))
-                return jax.lax.dynamic_update_slice(cv, cur + out[i], (0, 0, y, xo))
-
-            canvas = jax.lax.fori_loop(0, t_local, add_tile, canvas)
-            return jax.lax.psum(canvas, "tiles")
-
-        return jax.shard_map(
+        out = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P("tiles"), P("tiles"), P("tiles"), cond_specs),
-            out_specs=P(),
-        )(tiles, jnp.asarray(offsets), jnp.asarray(wmaps), conds)
+            in_specs=(P("tiles"), cond_specs),
+            out_specs=P("tiles"),
+        )(tiles, conds)
+
+        # Replicated scatter-add in bbox order == the single-device loop,
+        # including the MoD per-tile weight multiply placed at the SAME
+        # program point (multiply-then-add here, not inside the shard_map:
+        # XLA's FMA contraction choices depend on the op's surroundings, and
+        # splitting the pattern across the shard boundary produced last-ulp
+        # differences on CPU).
+        buf = jnp.zeros_like(x)
+        for t, b in enumerate(plan.bboxes):
+            tile = out[t]
+            if ptw_np is not None:
+                tile = tile * jnp.asarray(ptw_np[t][None, None])
+            buf = buf.at[:, :, b.y:b.y + b.h, b.x:b.x + b.w].add(tile)
+        return buf
 
     return grid_buf
