@@ -4,6 +4,11 @@
   2. SD-1.5 MultiDiffusion txt2img 2048x512 panorama, 20 steps  [PRIMARY]
   3. SD-1.5 Mixture-of-Diffusers img2img x4 upscale (512->2048) with
      gaussian blending + tiled noise inversion
+  4. SD-1.5 regional prompt control: 4 regions + background on 1536x1536
+  5. SDXL DemoFusion x3 with ControlNet tile conditioning (1024->3072)
+  8K. the reference's headline envelope (tilevae.py:16-22, README.md:18):
+     8192x8192 tiled-VAE encode+decode at fixed HBM, and the full
+     2048->8192 x4 MoD img2img upscale with noise inversion
 
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline",
 "secondary": {...}}.  Hardened against the flaky remote-TPU tunnel: probe
@@ -231,6 +236,94 @@ def bench_mod_upscale(pipe, cond, uncond):
     log(f"config 3 steady-state: {dt:.2f}s/image")
 
 
+def _hbm_peak_gb():
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:                   # noqa: BLE001
+        return None
+
+
+def bench_8k(pipe, cond, uncond):
+    """North-star config: the reference's 8K envelope on one chip.
+
+    (a) tiled-VAE encode+decode of 8192x8192 (stream modes auto-engage via
+        pipeline._exact_vae_mode when the workspace exceeds MDU_HBM_BYTES);
+    (b) 2048->8192 x4 MoD img2img upscale + tiled noise inversion — the
+        headline 2K->8K workload (BASELINE.md metric).  The 1024^2 latent
+        canvas is 144 tiles = 18 tile batches, so the lax.scan tile grid
+        auto-engages (MDU_TILE_SCAN_THRESHOLD).
+    """
+    import numpy as np
+
+    from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
+    from mdu_tpu.models.vae import sample_from_moments
+    from mdu_tpu.utils.image import image_to_tensor
+
+    # (a) VAE 8192^2 roundtrip
+    tv = TiledVAEConfig(encoder_tile_size=1024, decoder_tile_size=64,
+                        fast_decoder=False, fast_encoder=False)
+    img = (np.random.default_rng(0).random((8192, 8192, 3)) * 255).astype(np.uint8)
+    x = image_to_tensor(img)
+    t0 = time.time()
+    moments = pipe._encode(x, tv)
+    jax.block_until_ready(moments)
+    log(f"8k vae encode compile+1st: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    moments = pipe._encode(x, tv)
+    jax.block_until_ready(moments)
+    enc = 8192 * 8192 / 1e6 / (time.time() - t0)
+    del x
+    z = sample_from_moments(moments, jax.random.PRNGKey(0)) * pipe.vae.cfg.scaling_factor
+    del moments
+    t0 = time.time()
+    outd = pipe._decode_tensor(z, tv)
+    jax.block_until_ready(outd)
+    log(f"8k vae decode compile+1st: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    outd = pipe._decode_tensor(z, tv)
+    jax.block_until_ready(outd)
+    dec = outd.shape[2] * outd.shape[3] / 1e6 / (time.time() - t0)
+    del outd, z
+    RESULT["secondary"]["tiled_vae_encode_8192sq_mpix_s"] = round(enc, 2)
+    RESULT["secondary"]["tiled_vae_decode_8192sq_mpix_s"] = round(dec, 2)
+    RESULT["secondary"]["hbm_peak_after_8k_vae_gb"] = _hbm_peak_gb()
+    log(f"8k vae: encode {enc:.2f} Mpix/s, decode {dec:.2f} Mpix/s, "
+        f"hbm peak {_hbm_peak_gb()} GiB")
+    if budget_left() < 600:
+        log("skipping 8k upscale: budget")
+        RESULT["secondary"]["skipped_8k_upscale"] = "budget"
+        return
+
+    # (b) 2048 -> 8192 x4 MoD upscale + noise inversion
+    td = TiledDiffusionConfig(method=Method.MIX_DIFF, tile_w=96, tile_h=96,
+                              overlap=8, tile_bs=8, upscaler="Lanczos",
+                              scale_factor=4.0, noise_inverse=True,
+                              noise_inverse_steps=10,
+                              noise_inverse_renoise_strength=1.0)
+    sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
+                       denoising_strength=0.4)
+    src = (np.random.default_rng(1).random((2048, 2048, 3)) * 255).astype(np.uint8)
+
+    def run(seed):
+        pipe.free_cache()             # measure the full inversion each run
+        return pipe.img2img(src, cond, uncond, sampler=sp, seed=seed,
+                            tiled_diffusion=td, tiled_vae=tv)
+
+    t0 = time.time()
+    res = retry(lambda: run(0), "8k-upscale compile")
+    log(f"8k upscale first (incl. compile): {time.time()-t0:.1f}s, "
+        f"out {res.images.shape}")
+    t0 = time.time()
+    res = run(1)
+    dt = time.time() - t0
+    RESULT["secondary"]["upscale_2k_to_8k_img_per_min"] = round(60.0 / dt, 3)
+    RESULT["secondary"]["upscale_2k_to_8k_mpix_s"] = round(8192 * 8192 / 1e6 / dt, 2)
+    RESULT["secondary"]["hbm_peak_after_8k_upscale_gb"] = _hbm_peak_gb()
+    log(f"8k upscale steady-state: {dt:.1f}s/image = {60/dt:.3f} img/min, "
+        f"hbm peak {_hbm_peak_gb()} GiB")
+
+
 def bench_regional(pipe, cond, uncond):
     """Config 4: 4-region prompt control on 1536x1536 (regional conds ride
     the same compiled program; measures the region-batch overhead)."""
@@ -325,15 +418,16 @@ def main():
 
     # primary metric first: a failure (e.g. HBM exhaustion) in a secondary
     # config must not poison the headline number (round-2 postmortem)
+    # primary first, then the 8K north-star workload, then the rest; the
+    # per-phase budget guard drops the tail when time runs short
     phases = [("config2-panorama", lambda: bench_panorama(pipe, cond, uncond)),
+              ("config8k-envelope", lambda: bench_8k(pipe, cond, uncond)),
               ("config1-vae", lambda: bench_vae(pipe)),
-              ("config3-mod-upscale", lambda: bench_mod_upscale(pipe, cond, uncond))]
-    only = os.environ.get("MDU_BENCH_CONFIGS")      # e.g. "2" or "1,2"
-    if only and "4" in only.split(","):
-        phases.append(("config4-regional", lambda: bench_regional(pipe, cond, uncond)))
-    if only and "5" in only.split(","):
-        phases.append(("config5-sdxl-demofusion",
-                       lambda: bench_sdxl_demofusion(pipe, cond, uncond)))
+              ("config3-mod-upscale", lambda: bench_mod_upscale(pipe, cond, uncond)),
+              ("config4-regional", lambda: bench_regional(pipe, cond, uncond)),
+              ("config5-sdxl-demofusion",
+               lambda: bench_sdxl_demofusion(pipe, cond, uncond))]
+    only = os.environ.get("MDU_BENCH_CONFIGS")      # e.g. "2" or "1,2,8k"
     for name, fn in phases:
         if only and name.split("-")[0].lstrip("config") not in only.split(","):
             continue

@@ -55,6 +55,13 @@ class TiledDiffusionConfig:
     # bitwise equal across device counts.  Costs up to tile_bs-1 padded tile
     # computations per step, so off by default.
     deterministic: bool = False
+    # Roll the per-tile-batch loop into a lax.scan so the UNet is traced and
+    # compiled ONCE regardless of tile count (at 8K the canvas has ~144 tiles
+    # = 18 tile batches; unrolling that into the HLO would blow the compile
+    # budget).  None = auto: scan when the batch count reaches
+    # MDU_TILE_SCAN_THRESHOLD (default 8).  Ignored when deterministic=True
+    # (the bitwise claim is proven for the unrolled program).
+    tile_scan: Optional[bool] = None
 
     def validate(self) -> "TiledDiffusionConfig":
         from .utils.grid import clamp_overlap

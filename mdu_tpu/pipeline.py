@@ -361,29 +361,28 @@ class DiffusionPipeline:
             u = uncond_f(step) if uncond_f is not None else None
             return guided(x, sigma, cond_f(step), u)
 
-        sharded_td = conds_fn = None
-        if self.mesh is not None:
-            # full-contract mesh sharding: CFG/AND/scheduled conds are sliced
-            # per tile OUTSIDE shard_map (stacked on a leading tile axis and
-            # sharded with the tiles); static AND weights re-attach inside
-            cw = (cond["__weights__"]
-                  if isinstance(cond, dict) and "__and__" in cond else None)
-            uw = (uncond["__weights__"]
-                  if isinstance(uncond, dict) and "__and__" in uncond else None)
+        # flat-denoiser contract, used by BOTH the mesh-sharded grid and the
+        # lax.scan grid: CFG/AND/scheduled conds are sliced per tile up front
+        # (stacked on a leading tile axis, sharded or scanned with the
+        # tiles); static AND weights re-attach inside
+        cw = (cond["__weights__"]
+              if isinstance(cond, dict) and "__and__" in cond else None)
+        uw = (uncond["__weights__"]
+              if isinstance(uncond, dict) and "__and__" in uncond else None)
 
-            def conds_fn(step):
-                c = tile_cond_stacked(cond_f(step), plan.bboxes, hw)
-                u = (tile_cond_stacked(uncond_f(step), plan.bboxes, hw)
-                     if uncond_f is not None else None)
-                return {"c": c, "u": u}
+        def conds_fn(step):
+            c = tile_cond_stacked(cond_f(step), plan.bboxes, hw)
+            u = (tile_cond_stacked(uncond_f(step), plan.bboxes, hw)
+                 if uncond_f is not None else None)
+            return {"c": c, "u": u}
 
-            def sharded_td(flat, sigma, step, conds):
-                c, u = conds["c"], conds["u"]
-                if cw is not None:
-                    c = {**c, "__weights__": cw}
-                if uw is not None and u is not None:
-                    u = {**u, "__weights__": uw}
-                return guided(flat, sigma, c, u)
+        def sharded_td(flat, sigma, step, conds):
+            c, u = conds["c"], conds["u"]
+            if cw is not None:
+                c = {**c, "__weights__": cw}
+            if uw is not None and u is not None:
+                u = {**u, "__weights__": uw}
+            return guided(flat, sigma, c, u)
 
         return self._interruptible(make_tiled_denoiser(
             plan, tile_denoise,
@@ -446,7 +445,7 @@ class DiffusionPipeline:
             td.method, h, w, tile_h=td.tile_h, tile_w=td.tile_w,
             overlap=td.overlap, tile_bs=td.tile_bs,
             regions=td.regions, draw_background=td.draw_background,
-            uniform_batches=td.deterministic)
+            uniform_batches=td.deterministic, tile_scan=td.tile_scan)
 
     # --------------------------------------------------------------- txt2img
 
@@ -781,7 +780,7 @@ class DiffusionPipeline:
                 return self._raw_eps(model_fn, x, sigma, cond, retouch)
 
             sharded_eps = conds_fn = None
-            if self.mesh is not None and plan is not None:
+            if plan is not None:
                 def conds_fn(step):
                     return tile_cond_stacked(cond, plan.bboxes, (plan.h, plan.w))
 

@@ -67,6 +67,9 @@ class DiffusionTilePlan:
     # pad every tile batch to exactly tile_bs (bitwise topology invariance;
     # see TiledDiffusionConfig.deterministic)
     uniform_batches: bool = False
+    # lax.scan over tile batches instead of trace-time unrolling (compile
+    # cost O(1) in tile count; see TiledDiffusionConfig.tile_scan)
+    scan_tiles: bool = False
 
     @property
     def num_batches(self) -> int:
@@ -76,7 +79,8 @@ class DiffusionTilePlan:
         """Hashable geometry key for jit-executable caching."""
         return (self.method, self.h, self.w, self.tile_h, self.tile_w,
                 self.overlap, self.tile_bs, self.draw_background,
-                self.bboxes, self.regions, self.uniform_batches)
+                self.bboxes, self.regions, self.uniform_batches,
+                self.scan_tiles)
 
     @property
     def total_units(self) -> int:
@@ -95,6 +99,7 @@ def plan_tiled_diffusion(
     regions: Sequence[RegionSpec] = (),
     draw_background: bool = True,
     uniform_batches: bool = False,
+    tile_scan: Optional[bool] = None,
 ) -> DiffusionTilePlan:
     """Build the static tile plan (ref init_grid_bbox/init_custom_bbox,
     abstractdiffusion.py:172-229 + method-specific weight init)."""
@@ -156,7 +161,24 @@ def plan_tiled_diffusion(
         bboxes=bboxes, batched=batched, regions=region_bboxes,
         weights=weights, tile_weights=tile_weights,
         region_weights=tuple(region_weights),
-        uniform_batches=uniform_batches)
+        uniform_batches=uniform_batches,
+        scan_tiles=_resolve_tile_scan(tile_scan, len(batched), uniform_batches))
+
+
+def _resolve_tile_scan(tile_scan: Optional[bool], n_batches: int,
+                       uniform_batches: bool) -> bool:
+    """None = auto: scan once the batch count reaches the threshold where
+    trace-time unrolling starts to dominate compile time.  Deterministic
+    (uniform_batches) runs stay unrolled — the bitwise sharded==single claim
+    is proven for that program shape."""
+    import os
+
+    if uniform_batches:
+        return False
+    if tile_scan is not None:
+        return bool(tile_scan) and n_batches > 1
+    thresh = int(os.environ.get("MDU_TILE_SCAN_THRESHOLD", "8"))
+    return n_batches >= thresh
 
 
 def _use_fused_blend():
@@ -244,6 +266,13 @@ def make_tiled_denoiser(
     if use_sharded:
         sharded_grid = _make_sharded_grid(
             plan, mesh, sharded_tile_denoise, tile_conds_fn, ptw_np)
+    use_scan = (not use_sharded and plan.scan_tiles and plan.draw_background
+                and len(plan.batched) > 1 and sharded_tile_denoise is not None
+                and tile_conds_fn is not None)
+    scan_grid = None
+    if use_scan:
+        scan_grid = _make_scan_grid(plan, sharded_tile_denoise, tile_conds_fn,
+                                    ptw_np)
 
     def denoised_fn(x: jnp.ndarray, sigma: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
         B, C, H, W = x.shape
@@ -260,6 +289,8 @@ def make_tiled_denoiser(
 
         if use_sharded:
             buf = sharded_grid(x, sigma, step)
+        elif use_scan:
+            buf = scan_grid(x, sigma, step)
         elif plan.draw_background:
             tidx = 0
             all_out = [] if fused_grid else None
@@ -331,6 +362,86 @@ def make_tiled_denoiser(
         return x_out
 
     return denoised_fn
+
+
+def _make_scan_grid(plan: DiffusionTilePlan, tile_denoise_flat, tile_conds_fn,
+                    ptw_np: Optional[np.ndarray]):
+    """Grid-tile fusion as a ``lax.scan`` over uniform tile chunks.
+
+    The trace-time-unrolled batch loop above inlines one UNet graph per tile
+    batch — fine at panorama scale (3-7 batches), hopeless at 8K where a
+    1024x1024 latent canvas has ~144 tiles = 18 batches (the reference pays
+    nothing for its Python loop because torch re-dispatches eagerly,
+    multidiffusion.py:131-218; under XLA the loop must live *inside* the
+    compiled program).  Here every chunk is padded to exactly ``tile_bs``
+    tiles, so the scan body — dynamic-slice gather, one UNet call, multiply
+    by the per-tile scatter weights, sequential dynamic-update-slice
+    accumulate — compiles ONCE for any tile count.
+
+    Consumes the same contract as the mesh-sharded grid:
+    ``tile_denoise_flat(flat, sigma, step, conds)`` with per-tile conds
+    pre-stacked by ``tile_conds_fn(step)`` on a leading [T, B, ...] axis
+    (tiling/conds.py::tile_cond_stacked).  Returns the accumulated canvas
+    (MultiDiffusion: raw sums awaiting the weight divide; MoD:
+    pre-normalized via the gaussian x 1/sum-weights maps).
+    """
+    import jax
+
+    T = len(plan.bboxes)
+    bs = plan.tile_bs
+    n_chunks = -(-T // bs)
+    Tp = n_chunks * bs
+    th, tw = plan.tile_h, plan.tile_w
+
+    offs = np.array([[b.y, b.x] for b in plan.bboxes], np.int32)
+    offs = np.concatenate([offs, np.repeat(offs[-1:], Tp - T, axis=0)], axis=0)
+    wmaps = (ptw_np.astype(np.float32) if ptw_np is not None
+             else np.ones((T, th, tw), np.float32))
+    # padding tiles carry zero weight: they gather real data (repeat of the
+    # last bbox) but contribute nothing to the canvas
+    wmaps = np.concatenate(
+        [wmaps, np.zeros((Tp - T, th, tw), np.float32)], axis=0)
+    offs_c = offs.reshape(n_chunks, bs, 2)
+    wmaps_c = wmaps.reshape(n_chunks, bs, th, tw)
+
+    def grid_buf(x, sigma, step):
+        B, C = x.shape[0], x.shape[1]
+        conds = tile_conds_fn(step) if tile_conds_fn is not None else None
+
+        def pad_chunk(l):
+            if Tp != T:
+                l = jnp.concatenate(
+                    [l, jnp.repeat(l[-1:], Tp - T, axis=0)], axis=0)
+            return l.reshape((n_chunks, bs) + l.shape[1:])
+
+        conds = jax.tree.map(pad_chunk, conds)
+
+        def body(buf, inp):
+            o, wm, cc = inp         # [bs,2] i32, [bs,th,tw] f32, pytree [bs,B,...]
+            tiles = jnp.stack([
+                jax.lax.dynamic_slice(x, (0, 0, o[k, 0], o[k, 1]),
+                                      (B, C, th, tw))
+                for k in range(bs)])
+            flat = tiles.reshape(bs * B, C, th, tw)
+            cflat = jax.tree.map(
+                lambda l: l.reshape((bs * l.shape[1],) + l.shape[2:]), cc)
+            out = tile_denoise_flat(flat, sigma, step, cflat)
+            out = out.reshape(bs, B, C, th, tw) * wm[:, None, None]
+            out = out.astype(buf.dtype)
+            # sequential accumulate: tiles inside one chunk may overlap
+            for k in range(bs):
+                cur = jax.lax.dynamic_slice(
+                    buf, (0, 0, o[k, 0], o[k, 1]), (B, C, th, tw))
+                buf = jax.lax.dynamic_update_slice(
+                    buf, cur + out[k], (0, 0, o[k, 0], o[k, 1]))
+            return buf, None
+
+        buf, _ = jax.lax.scan(
+            body, jnp.zeros_like(x),
+            (jnp.asarray(offs_c), jnp.asarray(wmaps_c), conds))
+        return buf
+
+    return grid_buf
 
 
 def _make_sharded_grid(plan: DiffusionTilePlan, mesh, sharded_tile_denoise,
