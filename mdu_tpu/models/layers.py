@@ -80,7 +80,14 @@ def _linear_kernel_init(key, shape, dtype):
 
 
 class Conv2D(nn.Module):
-    """2-D conv on NCHW with an OIHW ``weight`` param (torch layout)."""
+    """2-D conv with an OIHW ``weight`` param (torch layout).
+
+    ``layout`` selects the *activation* layout: 'NCHW' (default, the
+    reference's tensor semantics) or 'NHWC' (TPU-native channels-last —
+    convs and the fused GN+SiLU+conv Pallas kernel run without per-call
+    activation transposes; the round-2 A/B showed those transposes absorb
+    the kernel's isolated win, docs/TUNING.md).  Parameters are identical
+    in either layout, so checkpoints load unchanged."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
@@ -88,6 +95,7 @@ class Conv2D(nn.Module):
     padding: Union[str, int, Sequence[Tuple[int, int]]] = 1
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    layout: str = "NCHW"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, scale: Optional[jnp.ndarray] = None,
@@ -95,7 +103,9 @@ class Conv2D(nn.Module):
         """``scale``/``shift`` ([B, C_in] f32, a folded GroupNorm affine)
         request the fused conv(silu(x*scale + shift)) contract — one Pallas
         kernel on TPU, an XLA elementwise chain elsewhere."""
-        in_c = x.shape[1]
+        nhwc = self.layout == "NHWC"
+        in_c = x.shape[3] if nhwc else x.shape[1]
+        H, W = (x.shape[1], x.shape[2]) if nhwc else (x.shape[2], x.shape[3])
         kh, kw = self.kernel_size
         w = self.param("weight", _conv_kernel_init, (self.features, in_c, kh, kw), jnp.float32)
         if self.use_bias:
@@ -103,34 +113,46 @@ class Conv2D(nn.Module):
 
         fused_ok = (scale is not None and (kh, kw) == (3, 3)
                     and self.strides == (1, 1) and self.padding == 1
-                    and x.shape[2] * x.shape[3] >= 64  # tiny spatial: XLA wins
-                    and max(in_c, self.features) <= 640  # 1280ch: XLA wins
+                    and H * W >= 64                    # tiny spatial: XLA wins
+                    and (nhwc or max(in_c, self.features) <= 640)
                     and _use_fused_conv())
         if fused_ok:
             from ..ops.pallas.conv3x3 import conv3x3_plan_fits
 
-            fused_ok = conv3x3_plan_fits(x.shape[2], x.shape[3],
-                                         in_c, self.features)
+            fused_ok = conv3x3_plan_fits(H, W, in_c, self.features)
         if fused_ok:
             from ..ops.pallas.conv3x3 import fused_conv3x3
 
-            xh = x.astype(self.dtype).transpose(0, 2, 3, 1)       # NHWC
+            xh = (x if nhwc else x.transpose(0, 2, 3, 1)).astype(self.dtype)
             wh = w.astype(self.dtype).transpose(2, 3, 1, 0)       # HWIO
             y = fused_conv3x3(xh, wh, scale, shift, fuse_act=True,
                               interpret=_fused_conv_interpret())
-            y = y.transpose(0, 3, 1, 2)
+            if not nhwc:
+                y = y.transpose(0, 3, 1, 2)
             if self.use_bias:
-                y = y + b.astype(self.dtype).reshape(1, -1, 1, 1)
+                bb = b.astype(self.dtype)
+                y = y + (bb.reshape(1, 1, 1, -1) if nhwc else bb.reshape(1, -1, 1, 1))
             return y
 
         if scale is not None:
-            xf = (x.astype(jnp.float32) * scale[:, :, None, None]
-                  + shift[:, :, None, None])
+            sc = (scale[:, None, None, :], shift[:, None, None, :]) if nhwc \
+                else (scale[:, :, None, None], shift[:, :, None, None])
+            xf = x.astype(jnp.float32) * sc[0] + sc[1]
             x = (xf * jax.nn.sigmoid(xf)).astype(self.dtype)
         if isinstance(self.padding, int):
             pad = ((self.padding, self.padding), (self.padding, self.padding))
         else:
             pad = self.padding
+        if nhwc:
+            wk = w.astype(self.dtype).transpose(2, 3, 1, 0)       # HWIO
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wk, window_strides=self.strides,
+                padding=pad, dimension_numbers=dn)
+            if self.use_bias:
+                y = y + b.astype(self.dtype).reshape(1, 1, 1, -1)
+            return y
         dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype),
@@ -174,11 +196,26 @@ class GroupNorm(nn.Module):
     num_groups: int = 32
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
+    layout: str = "NCHW"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, ctx: Optional[TileContext] = None,
                  affine_only: bool = False):
         from ..ops.groupnorm import apply_group_norm, group_stats
+
+        if self.layout == "NHWC":
+            # channels-last UNet path: plain per-sample stats only — the
+            # tile-pooled and injected modes are Tiled-VAE (NCHW) features
+            assert ctx is None and not self.has_variable("gn_stats", "stats")
+            C = x.shape[-1]
+            w = self.param("weight", nn.initializers.ones, (C,), jnp.float32)
+            b = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+            from ..ops.groupnorm import group_norm_affine_nhwc, group_norm_nhwc
+
+            if affine_only:
+                return group_norm_affine_nhwc(x, self.num_groups, w, b, self.eps)
+            return group_norm_nhwc(x, self.num_groups, w, b,
+                                   self.eps).astype(self.dtype)
 
         C = x.shape[1]
         w = self.param("weight", nn.initializers.ones, (C,), jnp.float32)

@@ -348,7 +348,9 @@ def load_pipeline(model_dir: str, dtype=jnp.float32, schedule=None):
     ccfg = _clip_config_from_json(
         _read_json(os.path.join(model_dir, "text_encoder", "config.json")),
         clip_skip=2 if is_sdxl else 1, ln_penultimate=not is_sdxl)
-    unet = UNet2DCondition(ucfg, dtype=dtype)
+    from .unet import default_unet_layout
+
+    unet = UNet2DCondition(ucfg, dtype=dtype, layout=default_unet_layout())
     vae = AutoencoderKL(vcfg, dtype=dtype)
     clip = CLIPTextModel(ccfg, dtype=dtype)
 

@@ -245,7 +245,9 @@ def load_single_file(path: str, dtype=None, schedule=None,
         if dk is not None:
             v_state[dk] = t
 
-    unet = UNet2DCondition(ucfg, dtype=dtype)
+    from .unet import default_unet_layout
+
+    unet = UNet2DCondition(ucfg, dtype=dtype, layout=default_unet_layout())
     # SDXL's VAE uses scaling_factor 0.13025 (vs 0.18215 for SD1/SD2); the
     # diffusers-folder path reads it from vae/config.json, so mirror it here.
     vcfg = VAEConfig(scaling_factor=0.13025) if arch == "sdxl" else VAEConfig()

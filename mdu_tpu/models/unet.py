@@ -68,6 +68,24 @@ def sdxl_unet_config() -> UNetConfig:
         use_linear_projection=True, addition_embed_type="text_time")
 
 
+def default_unet_layout() -> str:
+    """Activation layout for newly-built UNets.
+
+    ``MDU_UNET_LAYOUT=NHWC`` selects the channels-last internal schedule
+    (TPU-native; no per-layer activation transposes — the round-2 A/B showed
+    transposes absorbing the fused-conv kernel's win, docs/TUNING.md).  The
+    parameter tree is identical in either layout, so the flag is safe to flip
+    on any loaded checkpoint.  Default stays NCHW until the on-chip A/B says
+    otherwise.
+    """
+    import os
+
+    v = os.environ.get("MDU_UNET_LAYOUT", "NCHW").upper()
+    if v not in ("NCHW", "NHWC"):
+        raise ValueError(f"MDU_UNET_LAYOUT must be NCHW or NHWC, got {v!r}")
+    return v
+
+
 def tiny_unet_config() -> UNetConfig:
     """Small SD1.5-shaped config for tests (full depth, thin width)."""
     return UNetConfig(block_out_channels=(8, 16, 16, 16), cross_attention_dim=16,
@@ -133,27 +151,40 @@ class Transformer2D(nn.Module):
     channels: int
     depth: int
     dtype: jnp.dtype = jnp.float32
+    layout: str = "NCHW"
 
     @nn.compact
     def __call__(self, x, context):
-        B, C, H, W = x.shape
+        nhwc = self.layout == "NHWC"
+        if nhwc:
+            B, H, W, C = x.shape
+        else:
+            B, C, H, W = x.shape
         heads = self.cfg.heads_for(C)
-        h = GroupNorm(self.cfg.norm_num_groups, eps=1e-6, dtype=self.dtype, name="norm")(x)
+        h = GroupNorm(self.cfg.norm_num_groups, eps=1e-6, dtype=self.dtype,
+                      layout=self.layout, name="norm")(x)
         if self.cfg.use_linear_projection:
-            h = h.reshape(B, C, H * W).transpose(0, 2, 1)
+            # NHWC: tokens are a pure reshape; NCHW pays a transpose
+            h = h.reshape(B, H * W, C) if nhwc else \
+                h.reshape(B, C, H * W).transpose(0, 2, 1)
             h = Linear(C, dtype=self.dtype, name="proj_in")(h)
         else:
-            h = Conv2D(C, kernel_size=(1, 1), padding=0, dtype=self.dtype, name="proj_in")(h)
-            h = h.reshape(B, C, H * W).transpose(0, 2, 1)
+            h = Conv2D(C, kernel_size=(1, 1), padding=0, dtype=self.dtype,
+                       layout=self.layout, name="proj_in")(h)
+            h = h.reshape(B, H * W, C) if nhwc else \
+                h.reshape(B, C, H * W).transpose(0, 2, 1)
         for d in range(self.depth):
             h = BasicTransformerBlock(C, heads, self.cfg.cross_attention_dim,
                                       dtype=self.dtype, name=f"block_{d}")(h, context)
         if self.cfg.use_linear_projection:
             h = Linear(C, dtype=self.dtype, name="proj_out")(h)
-            h = h.transpose(0, 2, 1).reshape(B, C, H, W)
+            h = h.reshape(B, H, W, C) if nhwc else \
+                h.transpose(0, 2, 1).reshape(B, C, H, W)
         else:
-            h = h.transpose(0, 2, 1).reshape(B, C, H, W)
-            h = Conv2D(C, kernel_size=(1, 1), padding=0, dtype=self.dtype, name="proj_out")(h)
+            h = h.reshape(B, H, W, C) if nhwc else \
+                h.transpose(0, 2, 1).reshape(B, C, H, W)
+            h = Conv2D(C, kernel_size=(1, 1), padding=0, dtype=self.dtype,
+                       layout=self.layout, name="proj_out")(h)
         return x + h
 
 
@@ -161,55 +192,75 @@ class ResBlock(nn.Module):
     out_channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    layout: str = "NCHW"
 
     @nn.compact
     def __call__(self, x, temb):
         from .layers import _use_fused_conv
 
-        norm1 = GroupNorm(self.groups, eps=1e-5, dtype=self.dtype, name="norm1")
-        conv1 = Conv2D(self.out_channels, dtype=self.dtype, name="conv1")
-        norm2 = GroupNorm(self.groups, eps=1e-5, dtype=self.dtype, name="norm2")
-        conv2 = Conv2D(self.out_channels, dtype=self.dtype, name="conv2")
+        nhwc = self.layout == "NHWC"
+        ch_axis = 3 if nhwc else 1
+        norm1 = GroupNorm(self.groups, eps=1e-5, dtype=self.dtype,
+                          layout=self.layout, name="norm1")
+        conv1 = Conv2D(self.out_channels, dtype=self.dtype,
+                       layout=self.layout, name="conv1")
+        norm2 = GroupNorm(self.groups, eps=1e-5, dtype=self.dtype,
+                          layout=self.layout, name="norm2")
+        conv2 = Conv2D(self.out_channels, dtype=self.dtype,
+                       layout=self.layout, name="conv2")
         t = Linear(self.out_channels, dtype=self.dtype, name="time_emb_proj")(silu(temb))
+        t = t[:, None, None, :] if nhwc else t[:, :, None, None]
         if _use_fused_conv():
             # normalize+silu fused INTO the conv kernel (one HBM pass)
             a1, b1 = norm1(x, affine_only=True)
             h = conv1(x, scale=a1, shift=b1)
-            h = h + t[:, :, None, None]
+            h = h + t
             a2, b2 = norm2(h, affine_only=True)
             h = conv2(h, scale=a2, shift=b2)
         else:
             h = conv1(silu(norm1(x)))
-            h = h + t[:, :, None, None]
+            h = h + t
             h = conv2(silu(norm2(h)))
-        if x.shape[1] != self.out_channels:
+        if x.shape[ch_axis] != self.out_channels:
             x = Conv2D(self.out_channels, kernel_size=(1, 1), padding=0,
-                       dtype=self.dtype, name="conv_shortcut")(x)
+                       dtype=self.dtype, layout=self.layout,
+                       name="conv_shortcut")(x)
         return x + h
 
 
 class Downsample2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
+    layout: str = "NCHW"
 
     @nn.compact
     def __call__(self, x):
-        return Conv2D(self.channels, strides=(2, 2), padding=1, dtype=self.dtype, name="conv")(x)
+        return Conv2D(self.channels, strides=(2, 2), padding=1, dtype=self.dtype,
+                      layout=self.layout, name="conv")(x)
 
 
 class Upsample2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
+    layout: str = "NCHW"
 
     @nn.compact
     def __call__(self, x):
-        x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
-        return Conv2D(self.channels, dtype=self.dtype, name="conv")(x)
+        sp = (1, 2) if self.layout == "NHWC" else (2, 3)
+        x = jnp.repeat(jnp.repeat(x, 2, axis=sp[0]), 2, axis=sp[1])
+        return Conv2D(self.channels, dtype=self.dtype, layout=self.layout,
+                      name="conv")(x)
 
 
 class UNet2DCondition(nn.Module):
+    """``layout='NHWC'`` runs the network channels-last internally (one
+    transpose at entry/exit; convs, GroupNorm, and the token reshape are
+    then native — no per-layer activation transposes).  The public
+    contract and the parameter tree are identical in either layout."""
+
     cfg: UNetConfig
     dtype: jnp.dtype = jnp.float32
+    layout: str = "NCHW"
 
     @nn.compact
     def __call__(self, x, timesteps, context, added_cond: Optional[dict] = None,
@@ -219,6 +270,8 @@ class UNet2DCondition(nn.Module):
         residuals: optional ControlNet outputs (down_residuals, mid_residual)
         added to the skip connections and mid state (diffusers semantics)."""
         cfg = self.cfg
+        nhwc = self.layout == "NHWC"
+        ch_axis = 3 if nhwc else 1
         bc = cfg.block_out_channels
         ted = cfg.time_embed_dim
 
@@ -236,41 +289,59 @@ class UNet2DCondition(nn.Module):
             add = Linear(ted, dtype=self.dtype, name="add_embed_2")(silu(add))
             temb = temb + add
 
-        h = Conv2D(bc[0], dtype=self.dtype, name="conv_in")(x)
+        if nhwc:
+            x = x.transpose(0, 2, 3, 1)
+        h = Conv2D(bc[0], dtype=self.dtype, layout=self.layout, name="conv_in")(x)
         skips = [h]
         for i, ch in enumerate(bc):
             for j in range(cfg.layers_per_block):
-                h = ResBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name=f"down_{i}_res_{j}")(h, temb)
+                h = ResBlock(ch, cfg.norm_num_groups, dtype=self.dtype,
+                             layout=self.layout, name=f"down_{i}_res_{j}")(h, temb)
                 if cfg.transformer_layers[i] > 0:
                     h = Transformer2D(cfg, ch, cfg.transformer_layers[i],
-                                      dtype=self.dtype, name=f"down_{i}_attn_{j}")(h, context)
+                                      dtype=self.dtype, layout=self.layout,
+                                      name=f"down_{i}_attn_{j}")(h, context)
                 skips.append(h)
             if i != len(bc) - 1:
-                h = Downsample2D(ch, dtype=self.dtype, name=f"down_{i}_downsample")(h)
+                h = Downsample2D(ch, dtype=self.dtype, layout=self.layout,
+                                 name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
         if residuals is not None:
+            # ControlNet residuals arrive NCHW (the adapter keeps the
+            # reference layout); rotate them once at the add sites
             down_res, mid_res = residuals
+            if nhwc:
+                down_res = [r.transpose(0, 2, 3, 1) for r in down_res]
+                mid_res = mid_res.transpose(0, 2, 3, 1)
             skips = [s + r for s, r in zip(skips, down_res)]
 
         mid_depth = cfg.transformer_layers[-1] if cfg.transformer_layers[-1] > 0 else 1
-        h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_res_0")(h, temb)
-        h = Transformer2D(cfg, bc[-1], mid_depth, dtype=self.dtype, name="mid_attn")(h, context)
-        h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_res_1")(h, temb)
+        h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype,
+                     layout=self.layout, name="mid_res_0")(h, temb)
+        h = Transformer2D(cfg, bc[-1], mid_depth, dtype=self.dtype,
+                          layout=self.layout, name="mid_attn")(h, context)
+        h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype,
+                     layout=self.layout, name="mid_res_1")(h, temb)
         if residuals is not None:
             h = h + mid_res
 
         for i, ch in enumerate(reversed(bc)):
             level = len(bc) - 1 - i
             for j in range(cfg.layers_per_block + 1):
-                h = jnp.concatenate([h, skips.pop()], axis=1)
-                h = ResBlock(ch, cfg.norm_num_groups, dtype=self.dtype, name=f"up_{i}_res_{j}")(h, temb)
+                h = jnp.concatenate([h, skips.pop()], axis=ch_axis)
+                h = ResBlock(ch, cfg.norm_num_groups, dtype=self.dtype,
+                             layout=self.layout, name=f"up_{i}_res_{j}")(h, temb)
                 if cfg.transformer_layers[level] > 0:
                     h = Transformer2D(cfg, ch, cfg.transformer_layers[level],
-                                      dtype=self.dtype, name=f"up_{i}_attn_{j}")(h, context)
+                                      dtype=self.dtype, layout=self.layout,
+                                      name=f"up_{i}_attn_{j}")(h, context)
             if i != len(bc) - 1:
-                h = Upsample2D(ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
+                h = Upsample2D(ch, dtype=self.dtype, layout=self.layout,
+                               name=f"up_{i}_upsample")(h)
 
-        h = GroupNorm(cfg.norm_num_groups, eps=1e-5, dtype=self.dtype, name="norm_out")(h)
-        h = Conv2D(cfg.out_channels, dtype=self.dtype, name="conv_out")(silu(h))
-        return h
+        h = GroupNorm(cfg.norm_num_groups, eps=1e-5, dtype=self.dtype,
+                      layout=self.layout, name="norm_out")(h)
+        h = Conv2D(cfg.out_channels, dtype=self.dtype, layout=self.layout,
+                   name="conv_out")(silu(h))
+        return h.transpose(0, 3, 1, 2) if nhwc else h

@@ -149,6 +149,64 @@ def group_norm_affine(
     return a_c, b_c
 
 
+def group_norm_nhwc(
+    x: jnp.ndarray,
+    num_groups: int,
+    weight: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Plain GroupNorm on an NHWC tensor (TPU-native UNet layout).
+
+    Channels-last keeps C on the lane dimension: the per-channel moment
+    pass reduces over the sublane-major (H, W) axes and the group pool
+    happens on a tiny [B, C] pair — same structure as
+    ``group_norm_chanreduce`` without any activation transpose.
+    """
+    B, H, W, C = x.shape
+    G = num_groups
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))                     # [B, C]
+    s2 = jnp.sum(xf * xf, axis=(1, 2))
+    a_c, b_c = _fold_affine(s1, s2, B, C, G, H, W, weight, bias, eps)
+    out = xf * a_c[:, None, None, :] + b_c[:, None, None, :]
+    return out.astype(x.dtype)
+
+
+def group_norm_affine_nhwc(
+    x: jnp.ndarray,
+    num_groups: int,
+    weight: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Folded GroupNorm affine for NHWC ``x``: per-(batch, channel) f32
+    (a, b) with group_norm(x) == x * a + b (consumer fuses the normalize,
+    e.g. the Pallas conv3x3 kernel)."""
+    B, H, W, C = x.shape
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2))
+    s2 = jnp.sum(xf * xf, axis=(1, 2))
+    return _fold_affine(s1, s2, B, C, num_groups, H, W, weight, bias, eps)
+
+
+def _fold_affine(s1, s2, B, C, G, H, W, weight, bias, eps):
+    """Group-pool per-channel (Σx, Σx²) [B, C] into the folded per-channel
+    normalize affine (a, b) f32."""
+    n = float(C // G * H * W)
+    gmean = jnp.sum(s1.reshape(B, G, C // G), axis=2) / n
+    gmeansq = jnp.sum(s2.reshape(B, G, C // G), axis=2) / n
+    var = jnp.maximum(gmeansq - gmean * gmean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    mu_c = jnp.repeat(gmean, C // G, axis=1)          # [B, C]
+    rstd_c = jnp.repeat(rstd, C // G, axis=1)
+    w = jnp.ones((C,), jnp.float32) if weight is None else weight.astype(jnp.float32)
+    b = jnp.zeros((C,), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    a_c = rstd_c * w[None, :]
+    b_c = b[None, :] - mu_c * a_c
+    return a_c, b_c
+
+
 def group_norm_chanreduce(
     x: jnp.ndarray,
     num_groups: int,
