@@ -31,7 +31,8 @@ from .samplers.denoiser import cfg_combine, denoised_from_model, scalings
 from .samplers.samplers import (STATIC_SIGMA_SAMPLERS, STOCHASTIC_SAMPLERS,
                                 get_sampler)
 from .samplers.schedule import NoiseSchedule
-from .tiling.conds import Cond, concat_conds, tile_cond, tile_cond_stacked
+from .tiling.conds import (Cond, concat_conds, quantize_control_hints,
+                           tile_cond, tile_cond_stacked)
 from .tiling.regions import compose_region_noise, resolve_seed
 from .tiling.schedulers import DiffusionTilePlan, make_tiled_denoiser, plan_tiled_diffusion
 from .tiling.tiled_vae import tiled_vae_decode, tiled_vae_encode_moments
@@ -200,8 +201,14 @@ class DiffusionPipeline:
             residuals = None
             hints = cond.get("control")
             if controlnet is not None and hints:
+                from .tiling.conds import dequantize_hint
+
+                # uint8-resident hint canvases (quantize_control_hints)
+                # dequantize per tile here; the /255 fuses into the
+                # cond-embedding conv
                 residuals = controlnet.apply(
-                    cn_params, xin, t, cond["crossattn"], hints[0], added)
+                    cn_params, xin, t, cond["crossattn"],
+                    dequantize_hint(hints[0], x.dtype), added)
             g = cond.get("guidance")
             if guidance is not None and g is not None:
                 from .models.stablesr import combine_residuals
@@ -468,6 +475,10 @@ class DiffusionPipeline:
         sp = self._resolve_sampler(sampler)
         h, w = height // 8, width // 8
         plan = self._plan(tiled_diffusion, h, w)
+        cond = quantize_control_hints(cond)
+        uncond = quantize_control_hints(uncond)
+        region_conds = [(quantize_control_hints(rc), quantize_control_hints(ru))
+                        for rc, ru in region_conds]
 
         key = jax.random.PRNGKey(seed)
         # A1111 semantics: batch element i uses seed+i for its own noise
@@ -591,6 +602,10 @@ class DiffusionPipeline:
             init_latent = init_latent * self.vae.cfg.scaling_factor
 
         plan = self._plan(td, h, w)
+        cond = quantize_control_hints(cond)
+        uncond = quantize_control_hints(uncond)
+        region_conds = [(quantize_control_hints(rc), quantize_control_hints(ru))
+                        for rc, ru in region_conds]
         noise = jax.random.normal(key, init_latent.shape, jnp.float32)
         region_seeds = None
         if plan is not None and plan.regions:

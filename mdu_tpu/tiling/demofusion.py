@@ -207,8 +207,10 @@ def _dilated_cond(c, views, scale: int, hw: Tuple[int, int]):
             # canvas at 1/scale resolution, so give it the downsampled hint
             # (the sub-latent-pixel view offsets are below hint resolution)
             from ..ops.resize import resize_nchw
+            from .conds import dequantize_hint
 
-            small = resize_nchw(leaf, (H // scale * f, W // scale * f), "linear")
+            small = resize_nchw(dequantize_hint(leaf),
+                                (H // scale * f, W // scale * f), "linear")
             return jnp.concatenate([small] * K, axis=0)
         return jnp.concatenate([leaf] * K, axis=0)
 
@@ -230,7 +232,9 @@ def resize_spatial_conds(c, src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
         if leaf.ndim == 4 and leaf.shape[2:] == (sh, sw) and leaf.shape[1] > 0:
             return resize_nchw(leaf, (dh, dw), "linear")
         if leaf.ndim == 4 and leaf.shape[2:] == (sh * f, sw * f) and leaf.shape[1] > 0:
-            return resize_nchw(leaf, (dh * f, dw * f), "linear")
+            from .conds import dequantize_hint
+
+            return resize_nchw(dequantize_hint(leaf), (dh * f, dw * f), "linear")
         return leaf
 
     return _map_cond(c, rs)
