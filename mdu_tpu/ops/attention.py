@@ -73,23 +73,34 @@ FLASH_MIN_SEQ = 512
 
 
 def _flash_variant(D: int):
-    """Kernel layout choice, overridable via MDU_FLASH=lane|trans.
+    """Kernel layout choice, overridable via MDU_FLASH=lane|trans|fm|fm16.
 
     Measured on v5e (scripts/ab_bench.py --flash-t, 2026-08-16): the
     transposed layout wins or ties at every non-lane-aligned head dim —
     [16,8,9216,40] 43.1 vs 46.1 ms, [16,8,6144,64] 21.7 vs 23.3 ms,
     [16,8,2304,80] 7.20 vs 7.32 ms — and is far less block-sensitive.
     Lane-major stays for D % 128 == 0 (no pad either way).
+
+    ``fm``/``fm16`` select the fixed-max transposed kernel (one VPU pass
+    per score block; denominator rides the PV matmul) — see
+    pallas/flash_attention.py::_flash_kernel_t_fm; ``fm16`` additionally
+    runs the exp in bf16.
     """
+    import functools
     import os
 
-    from .pallas import flash_attention, flash_attention_t
+    from .pallas import (flash_attention, flash_attention_t,
+                         flash_attention_t_fm)
 
     ov = os.environ.get("MDU_FLASH")
     if ov == "lane":
         return flash_attention
     if ov == "trans":
         return flash_attention_t
+    if ov == "fm":
+        return flash_attention_t_fm
+    if ov == "fm16":
+        return functools.partial(flash_attention_t_fm, bf16_exp=True)
     return flash_attention if D % 128 == 0 else flash_attention_t
 
 

@@ -81,10 +81,17 @@ def bench_flash_t():
         np.asarray(g(x))
         return (time.time() - t0) / n * 1e3
 
+    import functools
+
+    from mdu_tpu.ops.pallas import flash_attention_t_fm
+
     for (H, L, D) in ((8, 9216, 40), (8, 2304, 80), (8, 576, 160), (8, 6144, 64)):
         q = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D), dt)
         fl = 4 * B * H * L * L * D
-        for name, fn in (("lane ", flash_attention), ("trans", flash_attention_t)):
+        for name, fn in (("lane ", flash_attention), ("trans", flash_attention_t),
+                         ("fm   ", flash_attention_t_fm),
+                         ("fm16 ", functools.partial(flash_attention_t_fm,
+                                                     bf16_exp=True))):
             for bq, bk in [(256, 512), (512, 1024), (512, 512)]:
                 if bq > L or bk > L:
                     continue
@@ -115,8 +122,11 @@ def bench_pipeline(flags):
                                 random_params, sd15_unet_config)
     from mdu_tpu.pipeline import DiffusionPipeline
 
+    from mdu_tpu.models.unet import default_unet_layout
+
     dt = jnp.bfloat16
-    unet = UNet2DCondition(sd15_unet_config(), dtype=dt)
+    unet = UNet2DCondition(sd15_unet_config(), dtype=dt,
+                           layout=default_unet_layout())
     vae = AutoencoderKL(VAEConfig(), dtype=dt)
     up = jax.tree.map(lambda a: a.astype(dt),
                       random_params(unet, 0, jnp.zeros((1, 4, 8, 8)),
@@ -147,6 +157,8 @@ if __name__ == "__main__":
     ap.add_argument("--kernels", action="store_true")
     ap.add_argument("--flash-t", action="store_true")
     ap.add_argument("--fused-conv", action="store_true")
+    ap.add_argument("--nhwc", action="store_true")
+    ap.add_argument("--flash-fm", action="store_true")
     args = ap.parse_args()
     if args.flash_t:
         bench_flash_t()
@@ -156,6 +168,17 @@ if __name__ == "__main__":
         base = bench_pipeline({"MDU_FUSED_CONV": "0"})
         fc = bench_pipeline({"MDU_FUSED_CONV": "1"})
         print(f"baseline {base:.2f}s | +fused_conv {fc:.2f}s")
+    elif args.nhwc:
+        base = bench_pipeline({"MDU_UNET_LAYOUT": "NCHW"})
+        nhwc = bench_pipeline({"MDU_UNET_LAYOUT": "NHWC"})
+        nhwc_fc = bench_pipeline({"MDU_UNET_LAYOUT": "NHWC",
+                                  "MDU_FUSED_CONV": "1"})
+        print(f"NCHW {base:.2f}s | NHWC {nhwc:.2f}s | NHWC+fused_conv {nhwc_fc:.2f}s")
+    elif args.flash_fm:
+        base = bench_pipeline({"MDU_FLASH": "trans"})
+        fm = bench_pipeline({"MDU_FLASH": "fm"})
+        fm16 = bench_pipeline({"MDU_FLASH": "fm16"})
+        print(f"flash=trans {base:.2f}s | fm {fm:.2f}s | fm16 {fm16:.2f}s")
     else:
         lane = bench_pipeline({"MDU_FLASH": "lane", "MDU_GN": ""})
         trans = bench_pipeline({"MDU_FLASH": "trans", "MDU_GN": ""})

@@ -73,6 +73,60 @@ def test_flash_t_bf16(rng):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize("Lq,Lk,D", [
+    (128, 128, 64),
+    (200, 200, 40),     # unaligned L and D: exercises the ones-row masking
+    (256, 77, 64),      # cross-attention shape (large kv pad)
+    (513, 513, 160),
+])
+def test_flash_t_fm_matches_sdpa(rng, Lq, Lk, D):
+    from mdu_tpu.ops.pallas import flash_attention_t_fm
+
+    B, H = 1, 2
+    q = jnp.asarray(rng.normal(size=(B, H, Lq, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, Lk, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, Lk, D)).astype(np.float32))
+    want = np.asarray(sdpa(q, k, v))
+    got = np.asarray(flash_attention_t_fm(q, k, v, block_q=128, block_k=128,
+                                          interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_t_fm_extreme_logits(rng):
+    """Large-magnitude logits (±10 range) with heavy kv padding: rows whose
+    true max is within smax stay exact — the ones-row denominator counts
+    only real kv columns, so padding must not pollute low-probability
+    rows."""
+    from mdu_tpu.ops.pallas import flash_attention_t_fm
+
+    q = jnp.asarray(rng.normal(size=(1, 1, 130, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 1, 130, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 1, 130, 32)).astype(np.float32))
+    q = q.at[:, :, :64].multiply(4.0)          # logits to ~±23 < smax=30
+    want = np.asarray(sdpa(q, k, v))
+    got = np.asarray(flash_attention_t_fm(q, k, v, block_q=128, block_k=128,
+                                          interpret=True))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+    # logits beyond the default clamp need a raised smax to stay exact
+    q8 = q.at[:, :, :64].multiply(2.0)         # ~±46 > 30
+    want8 = np.asarray(sdpa(q8, k, v))
+    got8 = np.asarray(flash_attention_t_fm(q8, k, v, block_q=128, block_k=128,
+                                           smax=60.0, interpret=True))
+    np.testing.assert_allclose(got8, want8, rtol=5e-4, atol=5e-4)
+
+
+def test_flash_t_fm_bf16_exp(rng):
+    from mdu_tpu.ops.pallas import flash_attention_t_fm
+
+    q = jnp.asarray(rng.normal(size=(1, 2, 256, 40)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, 2, 256, 40)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, 2, 256, 40)), jnp.bfloat16)
+    want = np.asarray(sdpa(q, k, v)).astype(np.float32)
+    got = np.asarray(flash_attention_t_fm(q, k, v, bf16_exp=True,
+                                          interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=8e-2, atol=8e-2)
+
+
 @pytest.mark.parametrize("B,H,W,C,Co", [
     (2, 8, 12, 16, 24),
     (1, 7, 9, 8, 8),        # odd spatial dims (block padding path)
