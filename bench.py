@@ -103,9 +103,11 @@ def build_models():
     )
     from mdu_tpu.pipeline import DiffusionPipeline
 
+    from mdu_tpu.models.unet import default_unet_layout
+
     dtype = jnp.bfloat16
     ucfg = sd15_unet_config()
-    unet = UNet2DCondition(ucfg, dtype=dtype)
+    unet = UNet2DCondition(ucfg, dtype=dtype, layout=default_unet_layout())
     vae = AutoencoderKL(VAEConfig(), dtype=dtype)
 
     t0 = time.time()
@@ -258,13 +260,14 @@ def bench_8k(pipe, cond, uncond):
 
     from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
     from mdu_tpu.models.vae import sample_from_moments
-    from mdu_tpu.utils.image import image_to_tensor
 
     # (a) VAE 8192^2 roundtrip
     tv = TiledVAEConfig(encoder_tile_size=1024, decoder_tile_size=64,
                         fast_decoder=False, fast_encoder=False)
     img = (np.random.default_rng(0).random((8192, 8192, 3)) * 255).astype(np.uint8)
-    x = image_to_tensor(img)
+    # keep the 0.8 GB canvas host-side: the stream-host VAE slices tiles
+    # from host memory, so a device round-trip through the tunnel is waste
+    x = (img.astype(np.float32) / 255.0 * 2.0 - 1.0).transpose(2, 0, 1)[None]
     t0 = time.time()
     moments = pipe._encode(x, tv)
     jax.block_until_ready(moments)
@@ -362,9 +365,11 @@ def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
                                 VAEConfig, random_params, sdxl_unet_config)
     from mdu_tpu.pipeline import DiffusionPipeline
 
+    from mdu_tpu.models.unet import default_unet_layout
+
     dtype = jnp.bfloat16
     ucfg = sdxl_unet_config()
-    unet = UNet2DCondition(ucfg, dtype=dtype)
+    unet = UNet2DCondition(ucfg, dtype=dtype, layout=default_unet_layout())
     vae = AutoencoderKL(VAEConfig(), dtype=dtype)
     cn = ControlNet(ucfg, dtype=dtype)
     added = {"text_embeds": jnp.zeros((1, ucfg.addition_pooled_dim)),

@@ -172,6 +172,48 @@ def _pool(parts, B):
     return mean.astype(np.float32), var.astype(np.float32)
 
 
+def auto_group_size(which: str, in_h: int, in_w: int, B: int,
+                    requested: int, prefetch: bool,
+                    dtype_bytes: int = 2) -> Tuple[int, bool]:
+    """Clamp the tile-group size to the HBM budget (MDU_HBM_BYTES).
+
+    The live set is one group's widest-segment working set — ~5 tensors of
+    the 128-channel full-tile-resolution activation (see
+    tiled_vae.segment_tile_bytes) — DOUBLED when the window-of-1 prefetch
+    keeps group g+1 in flight while g drains to the host.  Returns
+    (group_size, prefetch): the group shrinks first; if even a single tile
+    with prefetch busts the budget, prefetch is dropped before giving up.
+
+    Round-3 postmortem this encodes: an 8192px encode with 1024px tiles has
+    a 1088^2 x 128ch first segment = ~300 MB/tile/tensor; group 4 with
+    prefetch wanted ~24 GB and OOM'd a 16 GB v5e.
+    """
+    import os
+
+    per_tile = 128 * in_h * in_w * dtype_bytes * 5 * B
+    budget = int(os.environ.get("MDU_HBM_BYTES", str(10 * 2 ** 30)))
+    try:
+        # prefer live headroom: a resident UNet (~1.7 GB bf16) eats into the
+        # static budget; leave 1 GiB slack for allocator fragmentation
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            free = limit - stats.get("bytes_in_use", 0) - 2 ** 30
+            budget = max(min(budget, free), 2 ** 30)
+    except Exception:                   # noqa: BLE001 — stats are optional
+        pass
+    want_prefetch = prefetch
+    g = max(1, min(requested, budget // (per_tile * (2 if prefetch else 1))))
+    if g == 1 and prefetch and 2 * per_tile > budget:
+        prefetch = False
+    if g != requested or prefetch != want_prefetch:
+        import sys
+        print(f"[Tiled VAE] streaming {which}: group {requested} -> {g}"
+              f"{', prefetch off' if want_prefetch and not prefetch else ''}"
+              f" to fit {budget / 2**30:.1f} GiB HBM budget", file=sys.stderr)
+    return g, prefetch
+
+
 def streaming_tiled_vae(
     vae: AutoencoderKL,
     params: Any,
@@ -201,11 +243,18 @@ def streaming_tiled_vae(
 
     B = x.shape[0]
     T = plan.num_tiles
+    in_side_h = plan.in_h * (8 if which == "decoder" else 1)
+    in_side_w = plan.in_w * (8 if which == "decoder" else 1)
+    prefetch = host_resident
+    group_size, prefetch = auto_group_size(
+        which, in_side_h, in_side_w, B, min(group_size, T), prefetch)
     # pad tile count to a group multiple; pad tiles have zero masks
     Tp = -(-T // group_size) * group_size
 
     # gather tiles [Tp*B, C, th, tw]
     if host_resident:
+        # zero-copy for host (numpy) inputs: the 8K path should never bounce
+        # the full canvas through the device
         xnp = np.asarray(x)
         xs = np.zeros((Tp * B, x.shape[1], plan.in_h, plan.in_w), xnp.dtype)
         for t, (oy, ox) in enumerate(plan.in_origins):
@@ -258,10 +307,11 @@ def streaming_tiled_vae(
             return seg_fns[si](jnp.asarray(cur[g]), r_in,
                                jnp.asarray(gmasks[g]), st_in)
 
-        if host_resident:
+        if host_resident and prefetch:
             # window-of-1 prefetch: group g+1's device work is enqueued
             # before group g's host conversion blocks (the zigzag-swap
-            # overlap, but async-dispatch shaped)
+            # overlap, but async-dispatch shaped).  Doubles the live HBM;
+            # auto_group_size accounts for it
             pending = launch(0)
             for g in range(n_groups):
                 nxt = launch(g + 1) if g + 1 < n_groups else None
@@ -271,6 +321,14 @@ def streaming_tiled_vae(
                 if pg is not None:
                     parts.append(pg)
                 pending = nxt
+        elif host_resident:
+            # budget too tight for double-buffering: fully serialize
+            for g in range(n_groups):
+                xg, rg, pg = launch(g)
+                cur[g] = np.asarray(xg)
+                res[g] = np.asarray(rg)
+                if pg is not None:
+                    parts.append(pg)
         else:
             # device-resident: serialize groups so only one working set is
             # live at a time (async dispatch would hold them all)
@@ -296,4 +354,7 @@ def streaming_tiled_vae(
         tile = cur[g][k * B:(k + 1) * B]
         out[:, :, s(y0):s(y1), s(x0):s(x1)] = \
             tile[:, :, s(y0 - oy):s(y1 - oy), s(x0 - ox):s(x1 - ox)]
-    return jnp.asarray(out)
+    # host-resident callers get the canvas as host memory: an 8192^2 decode
+    # is ~0.8 GB — bouncing it through the device (and the remote tunnel)
+    # buys nothing
+    return out if host_resident else jnp.asarray(out)

@@ -170,25 +170,42 @@ def lockstep_footprint_bytes(which: str, tile_size: int, num_tiles: int,
     return num_tiles * batch * 128 * side * side * dtype_bytes * 4
 
 
+def segment_tile_bytes(which: str, tile_size: int, dtype_bytes: int = 2) -> int:
+    """Per-tile working-set bytes of the WIDEST streaming segment.
+
+    Segments split at every GroupNorm; for the SD VAE the widest segment is
+    the one at full tile resolution with 128 channels (the channel doubling
+    per level never outruns the 4x spatial shrink).  Within a segment the
+    live set is: the carried activation + the ResnetBlock residual + conv
+    in/out temps + the fp32 stats pass — measured on a v5e as ~5 tensors of
+    the widest activation (replaces the round-2 empirical 8x lump, which
+    conflated this with the prefetch double-buffer accounted separately in
+    tiling/streaming_vae.py::auto_group_size)."""
+    if which == "encoder":
+        side = tile_size + 2 * ENCODER_PAD
+    else:
+        side = (tile_size + 2 * DECODER_PAD) * 8
+    return 128 * side * side * dtype_bytes * 5
+
+
 def streaming_device_footprint_bytes(which: str, tile_size: int, num_tiles: int,
                                      batch: int, group_size: int = 4,
                                      dtype_bytes: int = 2) -> int:
     """Peak-HBM estimate for device-resident grouped streaming: every tile's
     CURRENT segment activation + the cross-segment residual copy (segments
     split at every GroupNorm, i.e. mid-ResnetBlock, so the skip tensor for
-    ALL tiles persists across the boundary) + one group's working set."""
+    ALL tiles persists across the boundary) + one group's working set.
+
+    The 3x all-tiles term was validated empirically on a v5e (2x OOM'd real
+    2560-3072px decodes: current + residual + mixed-layer transition during
+    upsample segments)."""
     if which == "encoder":
         side = tile_size + 2 * ENCODER_PAD
     else:
         side = (tile_size + 2 * DECODER_PAD) * 8
     per_tile = 128 * side * side * dtype_bytes
-    # multipliers set empirically on a v5e (16 GiB, ~11 usable beside a
-    # resident SD UNet): 3x all-tiles (current + residual + mixed-layer
-    # transition during upsample segments) + 8x one group (conv temps and
-    # fp32 GroupNorm intermediates).  2x/4x and 2x/8x both still OOM'd
-    # real 2560-3072px decodes.
     return (3 * num_tiles * batch * per_tile
-            + group_size * batch * per_tile * 8)
+            + group_size * batch * segment_tile_bytes(which, tile_size, dtype_bytes))
 
 
 def tiled_vae_decode(

@@ -213,3 +213,26 @@ def test_decode_nan_recovery_chain(vae_and_params):
     img_ok = pipe_ok._decode(z, tv)
     assert np.isfinite(img_ok).all()
     assert np.abs(img_ok.astype(int) - img.astype(int)).max() > 2
+
+
+def test_auto_group_size_clamps_to_budget(monkeypatch):
+    """Streaming group sizing honors MDU_HBM_BYTES: the group shrinks first,
+    then prefetch double-buffering is dropped (round-3 8K-OOM postmortem:
+    tiling/streaming_vae.py::auto_group_size)."""
+    from mdu_tpu.tiling.streaming_vae import auto_group_size
+
+    # roomy budget: requested group and prefetch survive
+    monkeypatch.setenv("MDU_HBM_BYTES", str(64 * 2 ** 30))
+    g, pf = auto_group_size("decoder", 256, 256, 1, 4, True)
+    assert (g, pf) == (4, True)
+
+    # 8K-decode-like working set vs a 1 GiB budget: group drops to 1 and
+    # prefetch is sacrificed rather than giving up
+    monkeypatch.setenv("MDU_HBM_BYTES", str(1 * 2 ** 30))
+    g, pf = auto_group_size("decoder", 8192, 1088, 1, 4, True)
+    assert g == 1 and pf is False
+
+    # mid budget: group shrinks, prefetch kept
+    monkeypatch.setenv("MDU_HBM_BYTES", str(8 * 2 ** 30))
+    g, pf = auto_group_size("decoder", 2048, 1088, 1, 4, True)
+    assert 1 <= g < 4 and pf is True
