@@ -81,10 +81,13 @@ def _flash_variant(D: int):
     [16,8,2304,80] 7.20 vs 7.32 ms — and is far less block-sensitive.
     Lane-major stays for D % 128 == 0 (no pad either way).
 
-    ``fm``/``fm16`` select the fixed-max transposed kernel (one VPU pass
-    per score block; denominator rides the PV matmul) — see
-    pallas/flash_attention.py::_flash_kernel_t_fm; ``fm16`` additionally
-    runs the exp in bf16.
+    The fixed-max transposed kernel ``fm`` (one VPU pass per score block;
+    denominator rides the PV matmul — pallas/flash_attention.py::
+    _flash_kernel_t_fm) is the DEFAULT since the 2026-08-17 sweep: it beats
+    the online-softmax layouts at every SD self-attention shape —
+    [16,8,9216,40] 25.8 vs 44.7 ms (-42%), [16,8,6144,64] 14.7 vs 22.2
+    (-34%), [16,8,2304,80] 5.4 vs 7.3 (-26%), ties at [16,8,576,160].
+    ``fm16`` additionally runs the exp in bf16 (measured: no gain).
     """
     import functools
     import os
@@ -101,7 +104,9 @@ def _flash_variant(D: int):
         return flash_attention_t_fm
     if ov == "fm16":
         return functools.partial(flash_attention_t_fm, bf16_exp=True)
-    return flash_attention if D % 128 == 0 else flash_attention_t
+    # lane-major keeps D%128==0 (VAE attention, D=512: no pad either way
+    # and the fm Dv=+16 PV pad is unmeasured there)
+    return flash_attention if D % 128 == 0 else flash_attention_t_fm
 
 
 def multi_head_attention(

@@ -140,7 +140,7 @@ def _flash_kernel_t(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 def _flash_kernel_t_fm(q_ref, k_ref, v_ref, o_ref, acc_ref,
                        *, scale: float, smax: float, d_row: int,
-                       bf16_exp: bool):
+                       bf16_exp: bool, clamp: bool):
     """Fixed-max transposed-layout body: ONE VPU pass per score block.
 
     The online-softmax bodies above touch every score element ~5 times on
@@ -153,13 +153,16 @@ def _flash_kernel_t_fm(q_ref, k_ref, v_ref, o_ref, acc_ref,
     Σp on the MXU.  The ones row is written only at REAL kv positions,
     which makes kv-padding masking exact and free (pad columns multiply a
     zero row).  Remaining VPU work per block: the single fused
-    min+subtract+exp+cast pass.
+    subtract+exp+cast pass (plus an optional clamp, see below).
 
     Accuracy contract: softmax is shift-invariant, so results are exact
-    (to fp rounding) whenever true max logit <= smax; scores above smax
-    are clamped (flattening only those probabilities).  SD attention
-    logits after qk-scaling sit well inside ±30.  Scores ~40 below smax
-    contribute < e^-40 and underflow harmlessly.
+    (to fp rounding) for any true max logit up to smax + 88.7 (the f32
+    exp overflow headroom; ~119 at the default smax=30 — unreachable for
+    SD attention, whose scaled logits sit well inside ±30).  With
+    ``clamp=True`` scores above smax are additionally min-clamped so even
+    pathological logits cannot overflow, at the cost of one more VPU pass.
+    Scores ~40 below the row max contribute < e^-40 and underflow
+    harmlessly.
     """
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -173,7 +176,10 @@ def _flash_kernel_t_fm(q_ref, k_ref, v_ref, o_ref, acc_ref,
     st = jax.lax.dot_general(
         kt, qt, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale          # [bk, bq]
-    sh = jnp.minimum(st, smax) - smax
+    # clamp=False skips the min pass: exp(s - smax) only overflows f32 at
+    # s > smax + 88.7 (= ~119 for the default smax) — far beyond any real
+    # logit — and scores above smax then stay EXACT instead of flattened
+    sh = (jnp.minimum(st, smax) if clamp else st) - smax
     if bf16_exp:
         p = jnp.exp(sh.astype(jnp.bfloat16)).astype(v_ref.dtype)
     else:
@@ -188,31 +194,51 @@ def _flash_kernel_t_fm(q_ref, k_ref, v_ref, o_ref, acc_ref,
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
+def _fm_default_blocks(Lq: int, Lk: int) -> tuple:
+    """Measured-best (block_q, block_k) for the fm kernel on v5e
+    (/tmp fm_sweep, 2026-08-17; min-of-2 reps, bf16, B*H=128):
+      L=9216 D=40: (1536,1024) 25.8 ms   (1024,1024) 26.6
+      L=6144 D=64: (1024,2048) 14.7      (1024,1024) 15.4
+      L=2304 D=80: (2048, 512)  5.4      (1024,1024)  6.8
+    (1024,1024) is the safe default shape-independent pick."""
+    if Lk >= 8192:
+        return 1536, 1024
+    if Lk >= 4096:
+        return 1024, 2048
+    if Lk >= 2048:
+        return 2048, 512
+    return 1024, 1024
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "scale", "block_q", "block_k", "smax", "bf16_exp", "interpret"))
+    "scale", "block_q", "block_k", "smax", "bf16_exp", "clamp", "interpret"))
 def flash_attention_t_fm(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     smax: float = 30.0,
     bf16_exp: bool = False,
+    clamp: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fixed-max flash attention, transposed [D, L] layout.
 
     See ``_flash_kernel_t_fm``: trades the online running max for a static
-    clamp-shift so each kv block costs one VPU pass and two MXU ops; the
+    shift so each kv block costs one VPU pass and two MXU ops; the
     softmax denominator is accumulated by the PV matmul via a ones row
-    appended to V (exact kv-pad masking for free).
+    appended to V (exact kv-pad masking for free).  ``clamp=True`` adds a
+    min(s, smax) pass that bounds exp for arbitrarily large logits; the
+    default relies on the 88.7-wide f32 exp headroom above ``smax``.
     """
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     if scale is None:
         scale = D ** -0.5
+    dq, dk = _fm_default_blocks(Lq, Lk)
 
-    bq = _pick_block(Lq, block_q)
-    bk = _pick_block(Lk, block_k)
+    bq = _pick_block(Lq, block_q or dq)
+    bk = _pick_block(Lk, block_k or dk)
     Dp = _round_up(D, 16)
     Dv = _round_up(D + 1, 16)          # + denominator ones row
     Lqp = _round_up(Lq, bq)
@@ -233,7 +259,7 @@ def flash_attention_t_fm(
     grid = (B * H, Lqp // bq, Lkp // bk)
     out = pl.pallas_call(
         functools.partial(_flash_kernel_t_fm, scale=scale, smax=smax,
-                          d_row=D, bf16_exp=bf16_exp),
+                          d_row=D, bf16_exp=bf16_exp, clamp=clamp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, Dp, bq), lambda b, qi, ki: (b, 0, qi)),
