@@ -108,7 +108,8 @@ def bench_flash_t():
         kv = jax.random.normal(jax.random.PRNGKey(2), (B, H, 77, D), dt)
         for name, fn in (("sdpa ", lambda a, b, c: sdpa(a, b, c)),
                          ("lane ", flash_attention),
-                         ("trans", flash_attention_t)):
+                         ("trans", flash_attention_t),
+                         ("fm   ", flash_attention_t_fm)):
             ms = chain(lambda c, fn=fn: fn(c, kv, kv), q)
             print(f"xattn [{B},{H},{L},{D}]x77 {name}: {ms:6.3f} ms", flush=True)
 
