@@ -141,15 +141,16 @@ def bench_vae(pipe):
     x = image_to_tensor(img)
     t0 = time.time()
     moments = pipe._encode(x, tv)
-    jax.block_until_ready(moments)
+    force(moments)
     log(f"vae encode compile+1st: {time.time()-t0:.1f}s")
     t0 = time.time()
     n = 3
     for _ in range(n):
-        # sync each iteration: async dispatch would hold n workspaces in
-        # HBM at once (round-2 postmortem: 3 in-flight encodes OOM'd)
+        # force each iteration: async dispatch would hold n workspaces in
+        # HBM at once (round-2 postmortem: 3 in-flight encodes OOM'd), and
+        # block_until_ready alone under-reports on axon (see force())
         moments = pipe._encode(x, tv)
-        jax.block_until_ready(moments)
+        force(moments)
     enc = 2048 * 2048 / 1e6 / ((time.time() - t0) / n)
 
     z = sample_from_moments(moments, jax.random.PRNGKey(0)) * pipe.vae.cfg.scaling_factor
@@ -167,7 +168,7 @@ def bench_vae(pipe):
     t0 = time.time()
     for _ in range(n):
         outd = pipe._decode_tensor(z, tv)
-        jax.block_until_ready(outd)
+        force(outd)
     dec_dev = outd.shape[2] * outd.shape[3] / 1e6 / ((time.time() - t0) / n)
     RESULT["secondary"]["tiled_vae_encode_2048sq_mpix_s"] = round(enc, 2)
     RESULT["secondary"]["tiled_vae_decode_2048sq_mpix_s"] = round(dec, 2)
@@ -241,51 +242,71 @@ def bench_mod_upscale(pipe, cond, uncond):
 def _hbm_peak_gb():
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
-        return round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+        peak = stats.get("peak_bytes_in_use", 0)
+        return round(peak / 2**30, 2) if peak else None   # axon: no stats
     except Exception:                   # noqa: BLE001
         return None
+
+
+def force(x):
+    """Materialize one element: on the tunneled axon backend
+    jax.block_until_ready returns before the queue drains (round-2
+    measurement), so every steady-state timing must pull a value."""
+    import numpy as np
+    return np.asarray(jax.tree.leaves(x)[0][(0,) * jax.tree.leaves(x)[0].ndim])
 
 
 def bench_8k(pipe, cond, uncond):
     """North-star config: the reference's 8K envelope on one chip.
 
-    (a) tiled-VAE encode+decode of 8192x8192 (stream modes auto-engage via
-        pipeline._exact_vae_mode when the workspace exceeds MDU_HBM_BYTES);
+    (a) tiled-VAE encode+decode of 8192x8192 in the reference's own 8K
+        configuration — fast encoder + fast decoder (ref tilevae.py:659-758
+        UI defaults; the published '8K in ~10 GB VRAM' envelope,
+        tilevae.py:16-22, is measured in this mode) — fully device-resident;
     (b) 2048->8192 x4 MoD img2img upscale + tiled noise inversion — the
         headline 2K->8K workload (BASELINE.md metric).  The 1024^2 latent
         canvas is 144 tiles = 18 tile batches, so the lax.scan tile grid
         auto-engages (MDU_TILE_SCAN_THRESHOLD).
+
+    The exact streaming modes (this repo's extension: exact cross-tile
+    GroupNorm stats at fixed HBM, tiling/streaming_vae.py) stay out of the
+    8K bench on purpose: stream-host round-trips ~19 GB of activations per
+    segment, which is PCIe-sized but unrunnable through this dev
+    environment's remote-TPU tunnel (~20 MB/s host<->device, TUNING.md).
+    The paths are parity-tested in tests/test_tiled_vae.py and
+    auto-dispatch for exact requests via pipeline._exact_vae_mode.
     """
     import numpy as np
 
     from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
     from mdu_tpu.models.vae import sample_from_moments
 
-    # (a) VAE 8192^2 roundtrip
-    tv = TiledVAEConfig(encoder_tile_size=1024, decoder_tile_size=64,
-                        fast_decoder=False, fast_encoder=False)
-    img = (np.random.default_rng(0).random((8192, 8192, 3)) * 255).astype(np.uint8)
-    # keep the 0.8 GB canvas host-side: the stream-host VAE slices tiles
-    # from host memory, so a device round-trip through the tunnel is waste
-    x = (img.astype(np.float32) / 255.0 * 2.0 - 1.0).transpose(2, 0, 1)[None]
+    # (a) VAE 8192^2 roundtrip, canvas generated on-device (the tunnel is a
+    # dev artifact; the metric is chip throughput).  Encoder tile 512 keeps
+    # one tile-batch's live set ~2.7 GB beside the resident UNet.
+    tv = TiledVAEConfig(encoder_tile_size=512, decoder_tile_size=64,
+                        fast_decoder=True, fast_encoder=True, tile_batch=8)
+    x = jax.jit(lambda k: jax.random.uniform(
+        k, (1, 3, 8192, 8192), jnp.bfloat16, -1.0, 1.0))(jax.random.PRNGKey(0))
+    jax.block_until_ready(x)
     t0 = time.time()
     moments = pipe._encode(x, tv)
-    jax.block_until_ready(moments)
+    force(moments)
     log(f"8k vae encode compile+1st: {time.time()-t0:.1f}s")
     t0 = time.time()
     moments = pipe._encode(x, tv)
-    jax.block_until_ready(moments)
+    force(moments)
     enc = 8192 * 8192 / 1e6 / (time.time() - t0)
     del x
     z = sample_from_moments(moments, jax.random.PRNGKey(0)) * pipe.vae.cfg.scaling_factor
     del moments
     t0 = time.time()
     outd = pipe._decode_tensor(z, tv)
-    jax.block_until_ready(outd)
+    force(outd)
     log(f"8k vae decode compile+1st: {time.time()-t0:.1f}s")
     t0 = time.time()
     outd = pipe._decode_tensor(z, tv)
-    jax.block_until_ready(outd)
+    force(outd)
     dec = outd.shape[2] * outd.shape[3] / 1e6 / (time.time() - t0)
     del outd, z
     RESULT["secondary"]["tiled_vae_encode_8192sq_mpix_s"] = round(enc, 2)
@@ -298,7 +319,9 @@ def bench_8k(pipe, cond, uncond):
         RESULT["secondary"]["skipped_8k_upscale"] = "budget"
         return
 
-    # (b) 2048 -> 8192 x4 MoD upscale + noise inversion
+    # (b) 2048 -> 8192 x4 MoD upscale + noise inversion.  decode=False +
+    # explicit _decode_tensor keeps the finished 200 MB image on-device:
+    # the host readback is pure tunnel latency, not chip throughput.
     td = TiledDiffusionConfig(method=Method.MIX_DIFF, tile_w=96, tile_h=96,
                               overlap=8, tile_bs=8, upscaler="Lanczos",
                               scale_factor=4.0, noise_inverse=True,
@@ -310,15 +333,18 @@ def bench_8k(pipe, cond, uncond):
 
     def run(seed):
         pipe.free_cache()             # measure the full inversion each run
-        return pipe.img2img(src, cond, uncond, sampler=sp, seed=seed,
-                            tiled_diffusion=td, tiled_vae=tv)
+        res = pipe.img2img(src, cond, uncond, sampler=sp, seed=seed,
+                           tiled_diffusion=td, tiled_vae=tv, decode=False)
+        out = pipe._decode_tensor(res.latents, tv)
+        force(out)
+        return out
 
     t0 = time.time()
-    res = retry(lambda: run(0), "8k-upscale compile")
+    out = retry(lambda: run(0), "8k-upscale compile")
     log(f"8k upscale first (incl. compile): {time.time()-t0:.1f}s, "
-        f"out {res.images.shape}")
+        f"out {out.shape}")
     t0 = time.time()
-    res = run(1)
+    out = run(1)
     dt = time.time() - t0
     RESULT["secondary"]["upscale_2k_to_8k_img_per_min"] = round(60.0 / dt, 3)
     RESULT["secondary"]["upscale_2k_to_8k_mpix_s"] = round(8192 * 8192 / 1e6 / dt, 2)
