@@ -281,13 +281,17 @@ def bench_8k(pipe, cond, uncond):
     from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
     from mdu_tpu.models.vae import sample_from_moments
 
-    # (a) VAE 8192^2 roundtrip, canvas generated on-device (the tunnel is a
-    # dev artifact; the metric is chip throughput).  Encoder tile 512 keeps
-    # one tile-batch's live set ~2.7 GB beside the resident UNet.
+    # MDU_BENCH_8K_SIZE shrinks the whole phase proportionally for a CPU
+    # smoke of the exact flow (e.g. 1024); the driver runs the real 8192.
+    SIZE = int(os.environ.get("MDU_BENCH_8K_SIZE", "8192"))
+
+    # (a) VAE roundtrip at SIZE^2, canvas generated on-device (the tunnel is
+    # a dev artifact; the metric is chip throughput).  Encoder tile 512
+    # keeps one tile-batch's live set ~2.7 GB beside the resident UNet.
     tv = TiledVAEConfig(encoder_tile_size=512, decoder_tile_size=64,
                         fast_decoder=True, fast_encoder=True, tile_batch=8)
     x = jax.jit(lambda k: jax.random.uniform(
-        k, (1, 3, 8192, 8192), jnp.bfloat16, -1.0, 1.0))(jax.random.PRNGKey(0))
+        k, (1, 3, SIZE, SIZE), jnp.bfloat16, -1.0, 1.0))(jax.random.PRNGKey(0))
     jax.block_until_ready(x)
     t0 = time.time()
     moments = pipe._encode(x, tv)
@@ -296,7 +300,7 @@ def bench_8k(pipe, cond, uncond):
     t0 = time.time()
     moments = pipe._encode(x, tv)
     force(moments)
-    enc = 8192 * 8192 / 1e6 / (time.time() - t0)
+    enc = SIZE * SIZE / 1e6 / (time.time() - t0)
     del x
     z = sample_from_moments(moments, jax.random.PRNGKey(0)) * pipe.vae.cfg.scaling_factor
     del moments
@@ -329,7 +333,7 @@ def bench_8k(pipe, cond, uncond):
                               noise_inverse_renoise_strength=1.0)
     sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
                        denoising_strength=0.4)
-    src = (np.random.default_rng(1).random((2048, 2048, 3)) * 255).astype(np.uint8)
+    src = (np.random.default_rng(1).random((SIZE // 4, SIZE // 4, 3)) * 255).astype(np.uint8)
 
     def run(seed):
         pipe.free_cache()             # measure the full inversion each run
@@ -347,7 +351,7 @@ def bench_8k(pipe, cond, uncond):
     out = run(1)
     dt = time.time() - t0
     RESULT["secondary"]["upscale_2k_to_8k_img_per_min"] = round(60.0 / dt, 3)
-    RESULT["secondary"]["upscale_2k_to_8k_mpix_s"] = round(8192 * 8192 / 1e6 / dt, 2)
+    RESULT["secondary"]["upscale_2k_to_8k_mpix_s"] = round(SIZE * SIZE / 1e6 / dt, 2)
     RESULT["secondary"]["hbm_peak_after_8k_upscale_gb"] = _hbm_peak_gb()
     log(f"8k upscale steady-state: {dt:.1f}s/image = {60/dt:.3f} img/min, "
         f"hbm peak {_hbm_peak_gb()} GiB")
