@@ -66,6 +66,20 @@ def _fused_conv_interpret() -> bool:
     return os.environ.get("MDU_FUSED_CONV") == "interp"
 
 
+def _conv_mm_mode() -> Optional[str]:
+    """Opt-in conv3x3-as-matmuls (MDU_CONV_MM=9mm | im2col).
+
+    Rewrites every 'same' stride-1 3x3 conv as MXU matmuls
+    (ops/conv_mm.py) — the candidate fix for the conv throughput floor
+    (docs/TUNING.md: conv 47-60 TF/s vs matmul 144-154 TF/s on v5e).
+    Off until the on-chip pipeline A/B shows a win; works on every
+    backend (pure jnp), so CPU tests exercise the real code path."""
+    import os
+
+    v = os.environ.get("MDU_CONV_MM")
+    return v if v in ("9mm", "im2col") else None
+
+
 def _conv_kernel_init(key, shape, dtype):
     # He-uniform over fan_in, matching torch's default Conv2d init closely
     fan_in = shape[1] * shape[2] * shape[3]
@@ -139,6 +153,17 @@ class Conv2D(nn.Module):
                 else (scale[:, :, None, None], shift[:, :, None, None])
             xf = x.astype(jnp.float32) * sc[0] + sc[1]
             x = (xf * jax.nn.sigmoid(xf)).astype(self.dtype)
+        mm = _conv_mm_mode()
+        if (mm and (kh, kw) == (3, 3) and self.strides == (1, 1)
+                and self.padding == 1):
+            from ..ops.conv_mm import conv3x3_mm
+
+            y = conv3x3_mm(x.astype(self.dtype), w.astype(self.dtype),
+                           mode=mm, layout=self.layout)
+            if self.use_bias:
+                bb = b.astype(self.dtype)
+                y = y + (bb.reshape(1, 1, 1, -1) if nhwc else bb.reshape(1, -1, 1, 1))
+            return y
         if isinstance(self.padding, int):
             pad = ((self.padding, self.padding), (self.padding, self.padding))
         else:

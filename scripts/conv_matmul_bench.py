@@ -95,11 +95,17 @@ for (B, C, H, W, O) in SHAPES:
     wh = jnp.transpose(w, (2, 3, 1, 0))
     flops = 2 * B * H * W * C * O * 9
 
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from mdu_tpu.ops.conv_mm import conv3x3_mm   # the shipped path (MDU_CONV_MM)
+
     fns = [("xla-nchw", jax.jit(conv_xla), (x, w)),
            ("xla-nhwc", jax.jit(conv_xla_nhwc), (xh, wh)),
            ("9mm     ", jax.jit(conv_9mm), (xh, wh)),
            ("9mm-flat", jax.jit(conv_9mm_flat), (xh, wh)),
-           ("im2col  ", jax.jit(conv_im2col), (xh, wh))]
+           ("im2col  ", jax.jit(conv_im2col), (xh, wh)),
+           ("mm9-nchw", jax.jit(lambda a, b: conv3x3_mm(a, b, "9mm", "NCHW")), (x, w)),
+           ("i2c-nchw", jax.jit(lambda a, b: conv3x3_mm(a, b, "im2col", "NCHW")), (x, w))]
     ref = None
     for name, fn, args in fns:
         ms = timeit(fn, *args)
@@ -110,6 +116,8 @@ for (B, C, H, W, O) in SHAPES:
             ref = np.transpose(out, (0, 2, 3, 1))
             err = 0.0
         else:
+            if out.shape != ref.shape:          # NCHW-output variants
+                out = np.transpose(out, (0, 2, 3, 1))
             err = float(np.max(np.abs(out - ref))) if ref is not None else -1
         print(f"[{B},{C},{H},{W}]->{O} {name}: {ms:7.3f} ms  "
               f"{flops/ms/1e9:6.1f} TF/s  maxerr {err:.2e}", flush=True)
