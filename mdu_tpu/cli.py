@@ -72,6 +72,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--no-fast-decoder", dest="fast_decoder", action="store_false")
     p.add_argument("--fast-encoder", action="store_true", default=True)
     p.add_argument("--no-fast-encoder", dest="fast_encoder", action="store_false")
+    p.add_argument("--color-fix", action="store_true",
+                   help="fast-encoder color fix (ref tilevae.py:693: "
+                        "re-estimate stats per tile, keep only the DC shift)")
     p.add_argument("--no-tiled-vae", action="store_true")
     # region prompt control
     p.add_argument("--regions", help="region-config JSON file "
@@ -193,7 +196,8 @@ def _configs(args):
         tv = TiledVAEConfig(encoder_tile_size=args.vae_encoder_tile,
                             decoder_tile_size=args.vae_decoder_tile,
                             fast_decoder=args.fast_decoder,
-                            fast_encoder=args.fast_encoder)
+                            fast_encoder=args.fast_encoder,
+                            color_fix=getattr(args, "color_fix", False))
     sp = SamplerConfig(name=args.sampler, steps=args.steps, cfg_scale=args.cfg_scale,
                        schedule=args.schedule,
                        denoising_strength=getattr(args, "denoising_strength", 0.75))
@@ -481,7 +485,9 @@ def main(argv: Optional[List[str]] = None):
     d.add_argument("--mixture", action="store_true")
     d.add_argument("--denoise-strengths", type=float, nargs="+", default=[0.45])
     d.add_argument("--init", help="optional init image (img2img DemoFusion)")
-    d.set_defaults(fn=cmd_demofusion)
+    # DemoFusion's own overlap default is 64, not Tiled Diffusion's 48
+    # (ref tileglobal.py:89 vs tilediffusion.py:131)
+    d.set_defaults(fn=cmd_demofusion, overlap=64)
 
     n = sub.add_parser("info", help="print generation metadata from a PNG")
     n.add_argument("image")

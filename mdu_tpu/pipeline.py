@@ -984,13 +984,15 @@ class DiffusionPipeline:
                     return tiled_vae_encode_moments(self.vae, vp, x,
                                                     tile_size=tv.encoder_tile_size,
                                                     fast=tv.fast_encoder,
-                                                    tile_batch=tv.tile_batch)
+                                                    tile_batch=tv.tile_batch,
+                                                    color_fix=tv.color_fix)
                 return self.vae.apply(vp, x, method=self.vae.encode_moments)
 
             return run
 
         jkey = ("encode", None if tv is None else
-                (tv.enabled, tv.encoder_tile_size, tv.fast_encoder, tv.tile_batch))
+                (tv.enabled, tv.encoder_tile_size, tv.fast_encoder, tv.tile_batch,
+                 tv.color_fix))
         return self._cached_jit(jkey, builder)(self.vae_params, x_img)
 
     # ------------------------------------------------------------------ misc

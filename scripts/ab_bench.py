@@ -160,6 +160,7 @@ if __name__ == "__main__":
     ap.add_argument("--fused-conv", action="store_true")
     ap.add_argument("--nhwc", action="store_true")
     ap.add_argument("--flash-fm", action="store_true")
+    ap.add_argument("--conv-mm", action="store_true")
     args = ap.parse_args()
     if args.flash_t:
         bench_flash_t()
@@ -175,6 +176,16 @@ if __name__ == "__main__":
         nhwc_fc = bench_pipeline({"MDU_UNET_LAYOUT": "NHWC",
                                   "MDU_FUSED_CONV": "1"})
         print(f"NCHW {base:.2f}s | NHWC {nhwc:.2f}s | NHWC+fused_conv {nhwc_fc:.2f}s")
+    elif args.conv_mm:
+        # conv floor attack: 3x3 convs as MXU matmuls, in-pipeline truth
+        # (microbench: scripts/conv_matmul_bench.py)
+        base = bench_pipeline({"MDU_CONV_MM": ""})
+        mm9 = bench_pipeline({"MDU_CONV_MM": "9mm"})
+        i2c = bench_pipeline({"MDU_CONV_MM": "im2col"})
+        mm9h = bench_pipeline({"MDU_CONV_MM": "9mm", "MDU_UNET_LAYOUT": "NHWC"})
+        i2ch = bench_pipeline({"MDU_CONV_MM": "im2col", "MDU_UNET_LAYOUT": "NHWC"})
+        print(f"base {base:.2f}s | 9mm {mm9:.2f}s | im2col {i2c:.2f}s "
+              f"| 9mm+NHWC {mm9h:.2f}s | im2col+NHWC {i2ch:.2f}s")
     elif args.flash_fm:
         base = bench_pipeline({"MDU_FLASH": "trans"})
         fm = bench_pipeline({"MDU_FLASH": "fm"})

@@ -98,6 +98,11 @@ def test_cli_vae_roundtrip(cli, ckpt_path, tmp_path):
          "--out", str(out)] + COMMON)
     img = np.asarray(Image.open(out))
     assert img.shape == (64, 64, 3)
+    # --color-fix (ref tilevae.py:693) must be accepted and produce output
+    out2 = tmp_path / "rt_cf.png"
+    cli(["vae-roundtrip", "--model-dir", ckpt_path, "--image", str(src),
+         "--out", str(out2), "--color-fix", "--fast-encoder"] + COMMON)
+    assert np.asarray(Image.open(out2)).shape == (64, 64, 3)
 
 
 def test_cli_region_png_recovery(cli, ckpt_path, tmp_path, capsys):

@@ -332,3 +332,22 @@ def test_interruption_skips_model(pipe):
                      tiled_diffusion=TD, decode=False)
     assert not np.allclose(np.asarray(c.latents), np.asarray(d.latents))
     assert not np.allclose(np.asarray(a.latents), np.asarray(c.latents))
+
+
+def test_color_fix_plumbed_through_encode(pipe):
+    """TiledVAEConfig.color_fix must change the fast-encoder program
+    (regression: the pipeline dropped the flag on the floor, so the CLI's
+    --color-fix was a silent no-op; ref tilevae.py:693)."""
+    from mdu_tpu.tiling.tiled_vae import tiled_vae_encode_moments
+
+    x = jax.random.uniform(jax.random.PRNGKey(9), (1, 3, 256, 256), minval=-1)
+    tv = TiledVAEConfig(encoder_tile_size=96, decoder_tile_size=16,
+                        fast_encoder=True, fast_decoder=True)
+    plain = pipe._encode(x, tv)
+    fixed = pipe._encode(x, dataclasses.replace(tv, color_fix=True))
+    want = jax.jit(lambda v, a: tiled_vae_encode_moments(
+        pipe.vae, v, a, tile_size=96, fast=True,
+        color_fix=True))(pipe.vae_params, x)
+    np.testing.assert_allclose(np.asarray(fixed), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(fixed), np.asarray(plain))
