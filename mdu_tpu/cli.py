@@ -41,6 +41,13 @@ def _add_common(p: argparse.ArgumentParser):
                             "DDIM", "LMS", "PLMS", "Restart"])
     p.add_argument("--schedule", default="automatic", choices=["automatic", "karras"])
     p.add_argument("--cfg-scale", type=float, default=7.0)
+    p.add_argument("--deepcache", type=int, default=1, metavar="N",
+                   help="DeepCache acceleration: run the full UNet every Nth "
+                        "step, shallow cached steps between (1 = off/exact; "
+                        "2-3 typical). Regions always run the full model")
+    p.add_argument("--deepcache-branch", type=int, default=1,
+                   help="cache depth: 1 caches at full latent resolution "
+                        "(fastest), deeper = smaller cache, less speedup")
     p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--out", default="out.png")
     p.add_argument("--bf16", action="store_true", help="bfloat16 weights/compute")
@@ -200,7 +207,9 @@ def _configs(args):
                             color_fix=getattr(args, "color_fix", False))
     sp = SamplerConfig(name=args.sampler, steps=args.steps, cfg_scale=args.cfg_scale,
                        schedule=args.schedule,
-                       denoising_strength=getattr(args, "denoising_strength", 0.75))
+                       denoising_strength=getattr(args, "denoising_strength", 0.75),
+                       deepcache=args.deepcache,
+                       deepcache_branch=args.deepcache_branch)
     return td, tv, sp, regions
 
 

@@ -122,6 +122,13 @@ class SamplerConfig:
     s_tmin: float = 0.0
     s_tmax: float = float("inf")
     s_noise: float = 1.0
+    # DeepCache step-level UNet feature caching (arXiv:2312.00858; no
+    # reference analogue — a TPU-friendly opt-in acceleration).  Every
+    # deepcache-th step runs the full UNet and refreshes the cache; the
+    # steps between recompute only the shallowest `deepcache_branch`
+    # levels.  1 = off (exact).  Regions always run the full model.
+    deepcache: int = 1
+    deepcache_branch: int = 1
 
 
 def regions_to_json(regions: List[RegionSpec]) -> str:

@@ -264,16 +264,38 @@ class UNet2DCondition(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, context, added_cond: Optional[dict] = None,
-                 residuals: Optional[tuple] = None):
+                 residuals: Optional[tuple] = None,
+                 cache: Optional[jnp.ndarray] = None,
+                 cache_mode: Optional[str] = None,
+                 cache_branch: int = 1):
         """x [B,C,H,W]; timesteps [B]; context [B,L,D] text embeddings;
         added_cond for SDXL: {'text_embeds': [B,1280], 'time_ids': [B,6]};
         residuals: optional ControlNet outputs (down_residuals, mid_residual)
-        added to the skip connections and mid state (diffusers semantics)."""
+        added to the skip connections and mid state (diffusers semantics).
+
+        Step-level feature caching (DeepCache, arXiv:2312.00858 — adjacent
+        denoising steps share deep UNet features; the reference has no
+        analogue, this is a TPU-friendly acceleration: the branch is a
+        static `lax.cond` between two fixed subgraphs):
+
+        * ``cache_mode='write'``: full forward; returns ``(out, feature)``
+          where ``feature`` is the activation entering the shallowest
+          ``cache_branch`` up-levels (right after ``up_{L-b-1}_upsample``).
+        * ``cache_mode='read'``: recompute only the shallow path — conv_in,
+          down levels ``0..b-1`` (minus the deepest of their downsamples),
+          then resume from ``cache`` through the last ``b`` up-levels;
+          returns ``out`` only.  With the cache written at the same
+          ``(x, t, context)`` this is bitwise identical to the full pass.
+        """
         cfg = self.cfg
         nhwc = self.layout == "NHWC"
         ch_axis = 3 if nhwc else 1
         bc = cfg.block_out_channels
         ted = cfg.time_embed_dim
+        L = len(bc)
+        read = cache_mode == "read"
+        if cache_mode is not None and not (1 <= cache_branch <= L - 1):
+            raise ValueError(f"cache_branch must be in [1, {L - 1}]")
 
         temb = timestep_embedding(timesteps, bc[0])
         temb = Linear(ted, dtype=self.dtype, name="time_embed_1")(temb)
@@ -293,7 +315,9 @@ class UNet2DCondition(nn.Module):
             x = x.transpose(0, 2, 3, 1)
         h = Conv2D(bc[0], dtype=self.dtype, layout=self.layout, name="conv_in")(x)
         skips = [h]
-        for i, ch in enumerate(bc):
+        down_levels = range(cache_branch) if read else range(L)
+        for i in down_levels:
+            ch = bc[i]
             for j in range(cfg.layers_per_block):
                 h = ResBlock(ch, cfg.norm_num_groups, dtype=self.dtype,
                              layout=self.layout, name=f"down_{i}_res_{j}")(h, temb)
@@ -302,32 +326,43 @@ class UNet2DCondition(nn.Module):
                                       dtype=self.dtype, layout=self.layout,
                                       name=f"down_{i}_attn_{j}")(h, context)
                 skips.append(h)
-            if i != len(bc) - 1:
+            # on read, the deepest shallow level's downsample only feeds the
+            # (skipped) deep path — downsample skips d_0..d_{b-2} are the
+            # ones the last b up-levels consume
+            if i != L - 1 and not (read and i == cache_branch - 1):
                 h = Downsample2D(ch, dtype=self.dtype, layout=self.layout,
                                  name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
         if residuals is not None:
             # ControlNet residuals arrive NCHW (the adapter keeps the
-            # reference layout); rotate them once at the add sites
+            # reference layout); rotate them once at the add sites.  On a
+            # cached step only the shallow skips exist — zip truncates to
+            # exactly the residuals those skips would have received.
             down_res, mid_res = residuals
             if nhwc:
                 down_res = [r.transpose(0, 2, 3, 1) for r in down_res]
-                mid_res = mid_res.transpose(0, 2, 3, 1)
+                mid_res = mid_res.transpose(0, 2, 3, 1) if not read else mid_res
             skips = [s + r for s, r in zip(skips, down_res)]
 
-        mid_depth = cfg.transformer_layers[-1] if cfg.transformer_layers[-1] > 0 else 1
-        h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype,
-                     layout=self.layout, name="mid_res_0")(h, temb)
-        h = Transformer2D(cfg, bc[-1], mid_depth, dtype=self.dtype,
-                          layout=self.layout, name="mid_attn")(h, context)
-        h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype,
-                     layout=self.layout, name="mid_res_1")(h, temb)
-        if residuals is not None:
-            h = h + mid_res
+        if not read:
+            mid_depth = cfg.transformer_layers[-1] if cfg.transformer_layers[-1] > 0 else 1
+            h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype,
+                         layout=self.layout, name="mid_res_0")(h, temb)
+            h = Transformer2D(cfg, bc[-1], mid_depth, dtype=self.dtype,
+                              layout=self.layout, name="mid_attn")(h, context)
+            h = ResBlock(bc[-1], cfg.norm_num_groups, dtype=self.dtype,
+                         layout=self.layout, name="mid_res_1")(h, temb)
+            if residuals is not None:
+                h = h + mid_res
+        else:
+            h = cache
 
-        for i, ch in enumerate(reversed(bc)):
-            level = len(bc) - 1 - i
+        feature = None
+        up_start = L - cache_branch if read else 0
+        for i in range(up_start, L):
+            ch = bc[L - 1 - i]
+            level = L - 1 - i
             for j in range(cfg.layers_per_block + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=ch_axis)
                 h = ResBlock(ch, cfg.norm_num_groups, dtype=self.dtype,
@@ -336,12 +371,17 @@ class UNet2DCondition(nn.Module):
                     h = Transformer2D(cfg, ch, cfg.transformer_layers[level],
                                       dtype=self.dtype, layout=self.layout,
                                       name=f"up_{i}_attn_{j}")(h, context)
-            if i != len(bc) - 1:
+            if i != L - 1:
                 h = Upsample2D(ch, dtype=self.dtype, layout=self.layout,
                                name=f"up_{i}_upsample")(h)
+                if cache_mode == "write" and i == L - cache_branch - 1:
+                    feature = h
 
         h = GroupNorm(cfg.norm_num_groups, eps=1e-5, dtype=self.dtype,
                       layout=self.layout, name="norm_out")(h)
         h = Conv2D(cfg.out_channels, dtype=self.dtype, layout=self.layout,
                    name="conv_out")(silu(h))
-        return h.transpose(0, 3, 1, 2) if nhwc else h
+        out = h.transpose(0, 3, 1, 2) if nhwc else h
+        if cache_mode == "write":
+            return out, feature
+        return out

@@ -185,7 +185,7 @@ class DiffusionPipeline:
         guidance = self.guidance_model
         g_params = self.guidance_params
 
-        def fn(x, t, cond: Cond):
+        def fn(x, t, cond: Cond, cache=None, cache_mode=None, cache_branch=1):
             xin = x
             cc = cond.get("concat")
             if cc is not None and cc.shape[-2:] == x.shape[-2:] and cc.shape[1] > 0:
@@ -218,7 +218,8 @@ class DiffusionPipeline:
                 residuals = combine_residuals(
                     residuals, guidance.apply(g_params, g.astype(x.dtype), t))
             return unet.apply(params, xin, t, cond["crossattn"], added,
-                              residuals=residuals)
+                              residuals=residuals, cache=cache,
+                              cache_mode=cache_mode, cache_branch=cache_branch)
 
         return fn
 
@@ -259,13 +260,21 @@ class DiffusionPipeline:
         return lambda step, _c=c: _c
 
     def _make_guided(self, cfg_scale: float, unet_params=None,
-                     controlnet_params=None):
+                     controlnet_params=None, deepcache_branch: int = 1):
         """Build the CFG'd denoiser core shared by the tiled pipeline and
         DemoFusion: ``guided(x, sigma, c, u, den_=den) -> denoised`` with
         AND-composition, cond batch alignment, and classifier-free guidance
-        (the reference's CFGDenoiser responsibilities, SURVEY.md L0)."""
-        den = denoised_from_model(
-            self._model_fn(unet_params, controlnet_params), self.schedule)
+        (the reference's CFGDenoiser responsibilities, SURVEY.md L0).
+
+        Also returns ``guided_cached(x, sigma, c, u, cache, is_cached) ->
+        (denoised, cache)`` — the same CFG/AND math over the stateful
+        DeepCache denoiser (samplers/denoiser.py)."""
+        model_fn = self._model_fn(unet_params, controlnet_params)
+        den = denoised_from_model(model_fn, self.schedule)
+        from .samplers.denoiser import denoised_from_model_cached
+
+        den_cached = denoised_from_model_cached(model_fn, self.schedule,
+                                                deepcache_branch)
 
         def _align(c, B):
             """Repeat cond leaves so their batch matches x (image batch > 1);
@@ -314,7 +323,36 @@ class DiffusionPipeline:
             du, dc = jnp.split(d, 2, axis=0)
             return cfg_combine(du, dc, cfg_scale)
 
-        return guided, den
+        def guided_cached(x, sigma, c, u, cache, is_cached):
+            B = x.shape[0]
+            c = _align(c, B)
+            u = _align(u, B)
+            s = jnp.broadcast_to(jnp.atleast_1d(sigma), (B,))
+            if isinstance(c, dict) and "__and__" in c:
+                parts, wts = c["__and__"], c["__weights__"]
+                P = len(parts)
+                xs = jnp.concatenate([x] * (P + 1), axis=0)
+                ss = jnp.concatenate([s] * (P + 1), axis=0)
+                cc = parts[0]
+                for extra_c in parts[1:]:
+                    cc = concat_conds(cc, extra_c)
+                cc = concat_conds(cc, u if u is not None else parts[0])
+                d, cache = den_cached(xs, ss, cc, cache, is_cached)
+                dens = jnp.split(d, P + 1, axis=0)
+                du = dens[-1] if u is not None else jnp.zeros_like(dens[0])
+                out = du
+                for dc, wt in zip(dens[:P], wts):
+                    out = out + cfg_scale * wt * (dc - du)
+                return out, cache
+            if u is None or cfg_scale == 1.0:
+                return den_cached(x, s, c, cache, is_cached)
+            x2 = jnp.concatenate([x, x], axis=0)
+            d, cache = den_cached(x2, jnp.concatenate([s, s]),
+                                  concat_conds(u, c), cache, is_cached)
+            du, dc = jnp.split(d, 2, axis=0)
+            return cfg_combine(du, dc, cfg_scale), cache
+
+        return guided, den, guided_cached
 
     def _make_denoised_fn(
         self,
@@ -327,8 +365,12 @@ class DiffusionPipeline:
         unet_params=None,
         region_unet_params: Optional[Sequence[Any]] = None,
         controlnet_params=None,
+        deepcache: int = 1,
+        deepcache_branch: int = 1,
     ):
-        guided, den = self._make_guided(cfg_scale, unet_params, controlnet_params)
+        guided, den, guided_cached = self._make_guided(
+            cfg_scale, unet_params, controlnet_params, deepcache_branch)
+        dc = deepcache > 1
         cond_f = self._as_cond_fn(cond)
         uncond_f = self._as_cond_fn(uncond)
         region_fs = [(self._as_cond_fn(rc), self._as_cond_fn(ru))
@@ -344,6 +386,14 @@ class DiffusionPipeline:
                 if rp is not None else den)
 
         if plan is None:
+            if dc:
+
+                def denoised_fn_c(x, sigma, step, aux):
+                    u = uncond_f(step) if uncond_f is not None else None
+                    return guided_cached(x, sigma, cond_f(step), u, aux,
+                                         (step % deepcache) != 0)
+
+                return self._interruptible(denoised_fn_c, stateful=True)
 
             def denoised_fn(x, sigma, step):
                 u = uncond_f(step) if uncond_f is not None else None
@@ -357,6 +407,12 @@ class DiffusionPipeline:
             c = tile_cond(cond_f(step), bboxes, hw)
             u = tile_cond(uncond_f(step), bboxes, hw) if uncond_f is not None else None
             return guided(flat, sigma, c, u)
+
+        def tile_denoise_c(flat, sigma, step, bboxes, batch_i, cache):
+            c = tile_cond(cond_f(step), bboxes, hw)
+            u = tile_cond(uncond_f(step), bboxes, hw) if uncond_f is not None else None
+            return guided_cached(flat, sigma, c, u, cache,
+                                 (step % deepcache) != 0)
 
         def region_denoise(xt, sigma, step, i):
             rcf, ruf = region_fs[i]
@@ -391,13 +447,54 @@ class DiffusionPipeline:
                 u = {**u, "__weights__": uw}
             return guided(flat, sigma, c, u)
 
+        if dc:
+            return self._interruptible(make_tiled_denoiser(
+                plan, tile_denoise_c,
+                region_denoise if plan.regions else None, org_fn,
+                stateful=True), stateful=True)
+
         return self._interruptible(make_tiled_denoiser(
             plan, tile_denoise,
             region_denoise if plan.regions else None, org_fn,
             mesh=self.mesh, sharded_tile_denoise=sharded_td,
             tile_conds_fn=conds_fn))
 
-    def _interruptible(self, fn):
+    def _deepcache_aux(self, plan, cond, uncond, cfg_scale: float,
+                       branch: int, B: int, hw: Tuple[int, int]):
+        """Zero-initialized DeepCache feature caches (sampler ``aux``).
+
+        One cache array per UNet call site: [mult*K*B, C_b, h', w'] where
+        ``mult`` is the CFG batch multiple (2, or P+1 under AND), ``C_b`` the
+        channel width entering the branch point, and (h', w') the tile
+        spatial at level ``branch-1``.  Step 0 always runs the full model
+        (step % interval == 0), so zeros are never consumed."""
+        mult = (len(cond["__and__"]) + 1
+                if isinstance(cond, dict) and "__and__" in cond
+                else (1 if (uncond is None or cfg_scale == 1.0) else 2))
+        ch = self.unet.cfg.block_out_channels[branch]
+        down = 2 ** (branch - 1)
+        nhwc = self.unet.layout == "NHWC"
+
+        def cshape(n, hh, ww):
+            if hh % down or ww % down:
+                raise ValueError(
+                    f"deepcache_branch={branch} needs tile dims divisible by "
+                    f"{down}, got {hh}x{ww}")
+            sh, sw = hh // down, ww // down
+            return (n, sh, sw, ch) if nhwc else (n, ch, sh, sw)
+
+        if plan is None or not plan.draw_background:
+            return jnp.zeros(cshape(mult * B, *hw), self.unet.dtype) \
+                if plan is None else ()
+        caches = []
+        for bb in plan.batched:
+            Kp = plan.tile_bs if plan.uniform_batches else len(bb)
+            caches.append(jnp.zeros(
+                cshape(mult * Kp * B, plan.tile_h, plan.tile_w),
+                self.unet.dtype))
+        return tuple(caches)
+
+    def _interruptible(self, fn, stateful: bool = False):
         """Per-step cooperative interruption *inside* jit: an io_callback
         reads the host flag each sampler step and a lax.cond skips the whole
         denoise (x passes through unchanged), so an interrupted run stops
@@ -414,6 +511,16 @@ class DiffusionPipeline:
 
         def _read_flag():
             return np.bool_(self.interrupted)
+
+        if stateful:
+            def wrapped_s(x, sigma, step, aux):
+                flag = io_callback(_read_flag, jax.ShapeDtypeStruct((), jnp.bool_))
+                return jax.lax.cond(flag,
+                                    lambda op: (op[0], op[3]),
+                                    lambda op: fn(*op),
+                                    (x, sigma, step, aux))
+
+            return wrapped_s
 
         def wrapped(x, sigma, step):
             flag = io_callback(_read_flag, jax.ShapeDtypeStruct((), jnp.bool_))
@@ -514,8 +621,14 @@ class DiffusionPipeline:
                                                 rc, latent_hw=(h, w),
                                                 unet_params=uparams,
                                                 region_unet_params=rparams,
-                                                controlnet_params=cnparams)
+                                                controlnet_params=cnparams,
+                                                deepcache=sp.deepcache,
+                                                deepcache_branch=sp.deepcache_branch)
                 kw = {"step_callback": cb}
+                if sp.deepcache > 1:
+                    kw["aux"] = self._deepcache_aux(
+                        plan, c, u, sp.cfg_scale, sp.deepcache_branch,
+                        x.shape[0], (h, w))
                 if sp.s_churn > 0 and sp.name in ("Euler", "Heun", "DPM2"):
                     kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
                               s_tmax=sp.s_tmax, s_noise=sp.s_noise)
@@ -531,7 +644,8 @@ class DiffusionPipeline:
             jkey = ("txt2img", plan.cache_key() if plan else (h, w), sp.name,
                     sp.cfg_scale, (sp.s_churn, sp.s_tmin, sp.s_tmax, sp.s_noise),
                     uncond is None, len(region_conds),
-                    step_callback is not None)
+                    step_callback is not None,
+                    (sp.deepcache, sp.deepcache_branch))
             if sp.name in STATIC_SIGMA_SAMPLERS:
                 jkey += (tuple(np.asarray(sigmas_const).tolist()),)
             runner = self._cached_jit(jkey, builder)
@@ -658,15 +772,25 @@ class DiffusionPipeline:
                                                 rc, latent_hw=(h, w),
                                                 unet_params=uparams,
                                                 region_unet_params=rparams,
-                                                controlnet_params=cnparams)
+                                                controlnet_params=cnparams,
+                                                deepcache=sp.deepcache,
+                                                deepcache_branch=sp.deepcache_branch)
                 if init_mask is not None:
                     init_lat, lm = init_mask
                     inner = den_fn
-
-                    def den_fn(xx, ss, ii):  # noqa: F811
-                        return init_lat * (1 - lm) + inner(xx, ss, ii) * lm
+                    if sp.deepcache > 1:
+                        def den_fn(xx, ss, ii, aux):  # noqa: F811
+                            out, aux = inner(xx, ss, ii, aux)
+                            return init_lat * (1 - lm) + out * lm, aux
+                    else:
+                        def den_fn(xx, ss, ii):  # noqa: F811
+                            return init_lat * (1 - lm) + inner(xx, ss, ii) * lm
 
                 kw = {"step_callback": cb}
+                if sp.deepcache > 1:
+                    kw["aux"] = self._deepcache_aux(
+                        plan, c, u, sp.cfg_scale, sp.deepcache_branch,
+                        x.shape[0], (h, w))
                 if sp.s_churn > 0 and sp.name in ("Euler", "Heun", "DPM2"):
                     kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
                               s_tmax=sp.s_tmax, s_noise=sp.s_noise)
@@ -683,7 +807,8 @@ class DiffusionPipeline:
                     sp.cfg_scale, (sp.s_churn, sp.s_tmin, sp.s_tmax, sp.s_noise),
                     uncond is None, len(region_conds),
                     latent_mask is not None,
-                    step_callback is not None)
+                    step_callback is not None,
+                    (sp.deepcache, sp.deepcache_branch))
             if sp.name in STATIC_SIGMA_SAMPLERS:
                 jkey += (tuple(np.asarray(sigmas_const).tolist()),)
             runner = self._cached_jit(jkey, builder)

@@ -59,6 +59,42 @@ def denoised_from_model(
     return denoise
 
 
+def denoised_from_model_cached(
+    model_fn: ModelFn,
+    schedule: NoiseSchedule,
+    cache_branch: int = 1,
+) -> Callable[..., tuple]:
+    """Stateful variant for step-level feature caching (DeepCache,
+    arXiv:2312.00858): ``denoise(x, sigma, cond, cache, is_cached) ->
+    (denoised, cache)``.  ``is_cached`` selects via `lax.cond` between the
+    full UNet (which rewrites the cache) and the shallow cached pass — two
+    static subgraphs, one executed per step, XLA-friendly."""
+    import jax
+
+    def denoise(x, sigma, cond, cache, is_cached):
+        c_skip, c_out, c_in = scalings(sigma, schedule.prediction_type)
+        t = schedule.t_for_sigma(sigma)
+        B = x.shape[0]
+        t_b = jnp.broadcast_to(jnp.atleast_1d(t), (B,))
+        xin = x * _append_dims(c_in, x.ndim)
+
+        def full(xin, t_b, cond, cache):
+            raw, f = model_fn(xin, t_b, cond, cache_mode="write",
+                              cache_branch=cache_branch)
+            return raw, f.astype(cache.dtype)
+
+        def cached(xin, t_b, cond, cache):
+            raw = model_fn(xin, t_b, cond, cache=cache, cache_mode="read",
+                           cache_branch=cache_branch)
+            return raw, cache
+
+        raw, cache = jax.lax.cond(is_cached, cached, full, xin, t_b, cond, cache)
+        den = x * _append_dims(c_skip, x.ndim) + raw * _append_dims(c_out, x.ndim)
+        return den, cache
+
+    return denoise
+
+
 def cfg_combine(den_uncond: jnp.ndarray, den_cond: jnp.ndarray, scale) -> jnp.ndarray:
     return den_uncond + scale * (den_cond - den_uncond)
 

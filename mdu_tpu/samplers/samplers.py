@@ -29,6 +29,18 @@ def _notify(cb: Optional[StepCallback], i, x):
         jax.debug.callback(cb, i, x)
 
 
+def _dcall(fn, x, s, i, aux):
+    """Invoke a possibly-stateful denoised_fn.
+
+    ``aux`` threads opaque per-run state (the DeepCache feature caches,
+    samplers/denoiser.py::denoised_from_model_cached) through the sampler
+    scan: stateless fns (aux None — an empty pytree, which lax.scan carries
+    for free) keep the plain 3-arg contract."""
+    if aux is None:
+        return fn(x, s, i), None
+    return fn(x, s, i, aux)
+
+
 def _to_sigma_pairs(sigmas: jnp.ndarray):
     return sigmas[:-1], sigmas[1:]
 
@@ -50,36 +62,39 @@ def sample_euler(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarra
                  key: Optional[jax.Array] = None,
                  s_churn: float = 0.0, s_tmin: float = 0.0,
                  s_tmax: float = float("inf"), s_noise: float = 1.0,
-                 step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                 step_callback: Optional[StepCallback] = None,
+                 aux=None) -> jnp.ndarray:
     sig, sig_next = _to_sigma_pairs(sigmas)
     n = sig.shape[0]
     use_churn = s_churn > 0 and key is not None
 
-    def body(x, inp):
+    def body(carry, inp):
+        x, aux = carry
         i, s, sn = inp
         if use_churn:
             x, s = _churn(x, s, i, key, n, s_churn, s_tmin, s_tmax, s_noise)
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
         d = (x - den) / s
         x = x + d * (sn - s)
         _notify(step_callback, i, x)
-        return x, None
+        return (x, aux), None
 
     steps = jnp.arange(n)
-    x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))
+    (x, _), _ = jax.lax.scan(body, (x, aux), (steps, sig, sig_next))
     return x
 
 
 def sample_euler_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
                            sigmas: jnp.ndarray, key: jax.Array,
                            eta: float = 1.0,
-                           step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                           step_callback: Optional[StepCallback] = None,
+                           aux=None) -> jnp.ndarray:
     sig, sig_next = _to_sigma_pairs(sigmas)
 
     def body(carry, inp):
-        x, k = carry
+        x, k, aux = carry
         i, s, sn = inp
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
         up = jnp.minimum(sn, eta * jnp.sqrt(jnp.maximum(sn**2 * (s**2 - sn**2) / s**2, 0.0)))
         down = jnp.sqrt(jnp.maximum(sn**2 - up**2, 0.0))
         d = (x - den) / s
@@ -87,10 +102,10 @@ def sample_euler_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
         k, sub = jax.random.split(k)
         x = x + jax.random.normal(sub, x.shape, x.dtype) * up
         _notify(step_callback, i, x)
-        return (x, k), None
+        return (x, k, aux), None
 
     steps = jnp.arange(sig.shape[0])
-    (x, _), _ = jax.lax.scan(body, (x, key), (steps, sig, sig_next))
+    (x, _, _), _ = jax.lax.scan(body, (x, key, aux), (steps, sig, sig_next))
     return x
 
 
@@ -98,36 +113,39 @@ def sample_heun(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray
                 key: Optional[jax.Array] = None,
                 s_churn: float = 0.0, s_tmin: float = 0.0,
                 s_tmax: float = float("inf"), s_noise: float = 1.0,
-                step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                step_callback: Optional[StepCallback] = None,
+                aux=None) -> jnp.ndarray:
     sig, sig_next = _to_sigma_pairs(sigmas)
     n = sig.shape[0]
     use_churn = s_churn > 0 and key is not None
 
-    def body(x, inp):
+    def body(carry, inp):
+        x, aux = carry
         i, s, sn = inp
         if use_churn:
             x, s = _churn(x, s, i, key, n, s_churn, s_tmin, s_tmax, s_noise)
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
         d = (x - den) / s
         x_euler = x + d * (sn - s)
 
-        def heun_correct(_):
-            den2 = denoised_fn(x_euler, sn, i)
-            d2 = (x_euler - den2) / sn
-            return x + 0.5 * (d + d2) * (sn - s)
+        def heun_correct(aux):
+            den2, aux = _dcall(denoised_fn, x_euler, sn, i, aux)
+            return x + 0.5 * (d + (x_euler - den2) / sn) * (sn - s), aux
 
-        x = jax.lax.cond(sn > 0, heun_correct, lambda _: x_euler, None)
+        x, aux = jax.lax.cond(sn > 0, heun_correct,
+                              lambda aux: (x_euler, aux), aux)
         _notify(step_callback, i, x)
-        return x, None
+        return (x, aux), None
 
     steps = jnp.arange(sig.shape[0])
-    x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))
+    (x, aux), _ = jax.lax.scan(body, (x, aux), (steps, sig, sig_next))
     return x
 
 
 def sample_dpmpp_2m(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
                     key: Optional[jax.Array] = None,
-                    step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                    step_callback: Optional[StepCallback] = None,
+                    aux=None) -> jnp.ndarray:
     """DPM-Solver++(2M), k-diffusion formulation."""
     sig, sig_next = _to_sigma_pairs(sigmas)
 
@@ -135,9 +153,9 @@ def sample_dpmpp_2m(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.nda
         return -jnp.log(jnp.maximum(s, 1e-10))
 
     def body(carry, inp):
-        x, old_den, have_old = carry
+        x, old_den, have_old, aux = carry
         i, s, sn = inp
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
         t, tn = t_of(s), t_of(sn)
         h = tn - t
         ratio = sn / s
@@ -157,40 +175,43 @@ def sample_dpmpp_2m(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.nda
             jnp.logical_and(have_old, sn > 0), second,
             lambda _: jax.lax.cond(sn > 0, first, lambda __: den, None), None)
         _notify(step_callback, i, x_new)
-        return (x_new, den, jnp.bool_(True)), None
+        return (x_new, den, jnp.bool_(True), aux), None
 
     steps = jnp.arange(sig.shape[0])
-    init = (x, jnp.zeros_like(x), jnp.bool_(False))
-    (x, _, _), _ = jax.lax.scan(body, init, (steps, sig, sig_next))
+    init = (x, jnp.zeros_like(x), jnp.bool_(False), aux)
+    (x, _, _, _), _ = jax.lax.scan(body, init, (steps, sig, sig_next))
     return x
 
 
 def sample_ddim(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
                 key: Optional[jax.Array] = None, eta: float = 0.0,
-                step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                step_callback: Optional[StepCallback] = None,
+                aux=None) -> jnp.ndarray:
     """DDIM in VE coordinates: x' = den + sigma_next * eps_hat (deterministic
     part); eta>0 mixes in ancestral noise like the classic eta-DDIM."""
     if eta > 0.0 and key is not None:
         return sample_euler_ancestral(denoised_fn, x, sigmas, key, eta,
-                                      step_callback=step_callback)
+                                      step_callback=step_callback, aux=aux)
     sig, sig_next = _to_sigma_pairs(sigmas)
 
-    def body(x, inp):
+    def body(carry, inp):
+        x, aux = carry
         i, s, sn = inp
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
         eps = (x - den) / s
         x = den + sn * eps
         _notify(step_callback, i, x)
-        return x, None
+        return (x, aux), None
 
     steps = jnp.arange(sig.shape[0])
-    x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))
+    (x, _), _ = jax.lax.scan(body, (x, aux), (steps, sig, sig_next))
     return x
 
 
 def sample_lms(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
                key: Optional[jax.Array] = None, order: int = 4,
-               step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+               step_callback: Optional[StepCallback] = None,
+               aux=None) -> jnp.ndarray:
     """Linear multistep (k-diffusion LMS, order 4).
 
     Per step the derivative history is combined with Adams-Bashforth-style
@@ -217,9 +238,9 @@ def sample_lms(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
         return jnp.trapezoid(prod, t)
 
     def body(carry, inp):
-        x, hist = carry               # hist [order, ...], most recent first
+        x, hist, aux = carry          # hist [order, ...], most recent first
         i, s, sn = inp
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
         d = (x - den) / s
         hist = jnp.roll(hist, 1, axis=0).at[0].set(d)
         cur_order = jnp.minimum(i + 1, order)
@@ -229,18 +250,19 @@ def sample_lms(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
             upd = upd + c * hist[j]
         x = x + upd
         _notify(step_callback, i, x)
-        return (x, hist), None
+        return (x, hist, aux), None
 
     steps = jnp.arange(n)
     hist0 = jnp.zeros((order,) + x.shape, x.dtype)
-    (x, _), _ = jax.lax.scan(body, (x, hist0), (steps, sig, sig_next))
+    (x, _, _), _ = jax.lax.scan(body, (x, hist0, aux), (steps, sig, sig_next))
     return x
 
 
 def sample_dpmpp_2s_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
                               sigmas: jnp.ndarray, key: jax.Array,
                               eta: float = 1.0,
-                              step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                              step_callback: Optional[StepCallback] = None,
+                              aux=None) -> jnp.ndarray:
     """DPM-Solver++(2S) ancestral (k-diffusion formulation): one midpoint
     model evaluation per step plus ancestral noise injection."""
     sig, sig_next = _to_sigma_pairs(sigmas)
@@ -249,9 +271,9 @@ def sample_dpmpp_2s_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
         return -jnp.log(jnp.maximum(s, 1e-10))
 
     def body(carry, inp):
-        x, k = carry
+        x, k, aux = carry
         i, s, sn = inp
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
         up = jnp.minimum(sn, eta * jnp.sqrt(jnp.maximum(sn**2 * (s**2 - sn**2) / s**2, 0.0)))
         down = jnp.sqrt(jnp.maximum(sn**2 - up**2, 0.0))
 
@@ -260,17 +282,17 @@ def sample_dpmpp_2s_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
         s_mid = t + 0.5 * h
         sig_mid = jnp.exp(-s_mid)
         x2 = (sig_mid / s) * x - jnp.expm1(-0.5 * h) * den
-        den2 = denoised_fn(x2, sig_mid, i)
+        den2, aux = _dcall(denoised_fn, x2, sig_mid, i, aux)
         x_second = (jnp.maximum(down, 1e-10) / s) * x - jnp.expm1(-h) * den2
 
         x = jnp.where(down > 0, x_second, den)
         k, sub = jax.random.split(k)
         x = x + jax.random.normal(sub, x.shape, x.dtype) * up
         _notify(step_callback, i, x)
-        return (x, k), None
+        return (x, k, aux), None
 
     steps = jnp.arange(sig.shape[0])
-    (x, _), _ = jax.lax.scan(body, (x, key), (steps, sig, sig_next))
+    (x, _, _), _ = jax.lax.scan(body, (x, key, aux), (steps, sig, sig_next))
     return x
 
 
@@ -286,71 +308,77 @@ def sample_dpm2(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray
                 key: Optional[jax.Array] = None,
                 s_churn: float = 0.0, s_tmin: float = 0.0,
                 s_tmax: float = float("inf"), s_noise: float = 1.0,
-                step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                step_callback: Optional[StepCallback] = None,
+                aux=None) -> jnp.ndarray:
     """DPM-Solver-2 (k-diffusion sample_dpm_2): midpoint step at the
     geometric-mean sigma; two model evaluations per step."""
     sig, sig_next = _to_sigma_pairs(sigmas)
     n = sig.shape[0]
     use_churn = s_churn > 0 and key is not None
 
-    def body(x, inp):
+    def body(carry, inp):
+        x, aux = carry
         i, s, sn = inp
         if use_churn:
             x, s = _churn(x, s, i, key, n, s_churn, s_tmin, s_tmax, s_noise)
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
         d = (x - den) / s
 
-        def midpoint(_):
+        def midpoint(aux):
             s_mid = jnp.exp(0.5 * (jnp.log(s) + jnp.log(jnp.maximum(sn, 1e-10))))
             x_2 = x + d * (s_mid - s)
-            den_2 = denoised_fn(x_2, s_mid, i)
+            den_2, aux = _dcall(denoised_fn, x_2, s_mid, i, aux)
             d_2 = (x_2 - den_2) / s_mid
-            return x + d_2 * (sn - s)
+            return x + d_2 * (sn - s), aux
 
-        x = jax.lax.cond(sn > 0, midpoint, lambda _: x + d * (sn - s), None)
+        x, aux = jax.lax.cond(sn > 0, midpoint,
+                              lambda aux: (x + d * (sn - s), aux), aux)
         _notify(step_callback, i, x)
-        return x, None
+        return (x, aux), None
 
     steps = jnp.arange(n)
-    x, _ = jax.lax.scan(body, x, (steps, sig, sig_next))
+    (x, _), _ = jax.lax.scan(body, (x, aux), (steps, sig, sig_next))
     return x
 
 
 def sample_dpm2_ancestral(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
                           sigmas: jnp.ndarray, key: jax.Array, eta: float = 1.0,
-                          step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                          step_callback: Optional[StepCallback] = None,
+                          aux=None) -> jnp.ndarray:
     """DPM-Solver-2 ancestral (k-diffusion sample_dpm_2_ancestral)."""
     sig, sig_next = _to_sigma_pairs(sigmas)
 
     def body(carry, inp):
-        x, k = carry
+        x, k, aux = carry
         i, s, sn = inp
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
         down, up = _ancestral_step(s, sn, eta)
         d = (x - den) / s
 
-        def midpoint(_):
+        def midpoint(aux):
             s_mid = jnp.exp(0.5 * (jnp.log(s) + jnp.log(jnp.maximum(down, 1e-10))))
             x_2 = x + d * (s_mid - s)
-            den_2 = denoised_fn(x_2, s_mid, i)
+            den_2, aux = _dcall(denoised_fn, x_2, s_mid, i, aux)
             d_2 = (x_2 - den_2) / s_mid
-            return x + d_2 * (down - s)
+            return x + d_2 * (down - s), aux
 
-        x = jax.lax.cond(down > 0, midpoint, lambda _: x + d * (down - s), None)
+        x, aux = jax.lax.cond(down > 0, midpoint,
+                              lambda aux: (x + d * (down - s), aux), aux)
         k, sub = jax.random.split(k)
         x = x + jax.random.normal(sub, x.shape, x.dtype) * up
         _notify(step_callback, i, x)
-        return (x, k), None
+        return (x, k, aux), None
 
     steps = jnp.arange(sig.shape[0])
-    (x, _), _ = jax.lax.scan(body, (x, key), (steps, sig, sig_next))
+    (x, _, _), _ = jax.lax.scan(body, (x, key, aux), (steps, sig, sig_next))
     return x
 
 
 def sample_dpmpp_sde(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
                      sigmas: jnp.ndarray, key: jax.Array, eta: float = 1.0,
                      s_noise: float = 1.0, r: float = 0.5,
-                     step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                     step_callback: Optional[StepCallback] = None,
+                     aux=None) -> jnp.ndarray:
     """DPM-Solver++ SDE (k-diffusion sample_dpmpp_sde formulation): two model
     evaluations per step with ancestral noise at the midpoint and endpoint.
     Uses per-step fold_in gaussian noise rather than k-diffusion's Brownian
@@ -361,15 +389,15 @@ def sample_dpmpp_sde(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
         return -jnp.log(jnp.maximum(s, 1e-10))
 
     def body(carry, inp):
-        x, k = carry
+        x, k, aux = carry
         i, s, sn = inp
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
 
-        def last(_k):
+        def last(_k, aux):
             d = (x - den) / s
-            return x + d * (sn - s)
+            return x + d * (sn - s), aux
 
-        def sde_step(k):
+        def sde_step(k, aux):
             t, t_next = t_of(s), t_of(sn)
             h = t_next - t
             s_mid = jnp.exp(-(t + h * r))
@@ -381,27 +409,29 @@ def sample_dpmpp_sde(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
             t_mid_d = t_of(sd1)
             x_2 = (sd1 / s) * x - jnp.expm1(t - t_mid_d) * den
             x_2 = x_2 + jax.random.normal(k1, x.shape, x.dtype) * s_noise * su1
-            den_2 = denoised_fn(x_2, s_mid, i)
+            den_2, aux = _dcall(denoised_fn, x_2, s_mid, i, aux)
             # step 2: to the (ancestrally split) endpoint
             sd2, su2 = _ancestral_step(s, sn, eta)
             t_next_d = t_of(sd2)
             den_d = (1.0 - fac) * den + fac * den_2
             x_out = (sd2 / s) * x - jnp.expm1(t - t_next_d) * den_d
-            return x_out + jax.random.normal(k2, x.shape, x.dtype) * s_noise * su2
+            return (x_out + jax.random.normal(k2, x.shape, x.dtype)
+                    * s_noise * su2), aux
 
         k, sub = jax.random.split(k)
-        x = jax.lax.cond(sn > 0, sde_step, last, sub)
+        x, aux = jax.lax.cond(sn > 0, sde_step, last, sub, aux)
         _notify(step_callback, i, x)
-        return (x, k), None
+        return (x, k, aux), None
 
     steps = jnp.arange(sig.shape[0])
-    (x, _), _ = jax.lax.scan(body, (x, key), (steps, sig, sig_next))
+    (x, _, _), _ = jax.lax.scan(body, (x, key, aux), (steps, sig, sig_next))
     return x
 
 
 def sample_plms(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
                 key: Optional[jax.Array] = None, order: int = 4,
-                step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                step_callback: Optional[StepCallback] = None,
+                aux=None) -> jnp.ndarray:
     """PLMS (CompVis pseudo linear multistep): Adams-Bashforth over eps
     predictions on the uniform-timestep grid, primed with one midpoint-style
     second evaluation on the first step (p_sample_plms semantics, expressed
@@ -409,35 +439,36 @@ def sample_plms(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray
     sig, sig_next = _to_sigma_pairs(sigmas)
 
     def body(carry, inp):
-        x, hist, count = carry            # hist [3, ...] newest first
+        x, hist, count, aux = carry       # hist [3, ...] newest first
         i, s, sn = inp
-        eps = (x - denoised_fn(x, s, i)) / s
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
+        eps = (x - den) / s
 
-        def primed(_):
+        def primed(aux):
             # first step: DDIM to sn, re-evaluate, average (2nd-order start)
             x1 = (x - s * eps) + sn * eps
-            eps2 = (x1 - denoised_fn(x1, jnp.maximum(sn, 1e-10), i)) \
-                / jnp.maximum(sn, 1e-10)
-            return (eps + eps2) / 2.0
+            den2, aux = _dcall(denoised_fn, x1, jnp.maximum(sn, 1e-10), i, aux)
+            eps2 = (x1 - den2) / jnp.maximum(sn, 1e-10)
+            return (eps + eps2) / 2.0, aux
 
-        def ab(_):
+        def ab(aux):
             e1, e2, e3 = hist[0], hist[1], hist[2]
             ab2 = (3 * eps - e1) / 2
             ab3 = (23 * eps - 16 * e1 + 5 * e2) / 12
             ab4 = (55 * eps - 59 * e1 + 37 * e2 - 9 * e3) / 24
             return jax.lax.switch(jnp.clip(count, 1, 3) - 1,
-                                  [lambda: ab2, lambda: ab3, lambda: ab4])
+                                  [lambda: ab2, lambda: ab3, lambda: ab4]), aux
 
-        eps_prime = jax.lax.cond(count == 0, primed, ab, None)
+        eps_prime, aux = jax.lax.cond(count == 0, primed, ab, aux)
         x = (x - s * eps) + sn * eps_prime
         hist = jnp.roll(hist, 1, axis=0).at[0].set(eps)
         _notify(step_callback, i, x)
-        return (x, hist, count + 1), None
+        return (x, hist, count + 1, aux), None
 
     steps = jnp.arange(sig.shape[0])
     hist0 = jnp.zeros((3,) + x.shape, x.dtype)
-    (x, _, _), _ = jax.lax.scan(body, (x, hist0, jnp.int32(0)),
-                                (steps, sig, sig_next))
+    (x, _, _, _), _ = jax.lax.scan(body, (x, hist0, jnp.int32(0), aux),
+                                   (steps, sig, sig_next))
     return x
 
 
@@ -486,7 +517,8 @@ def _dpm3(denoised_fn, x, t, t_next, i, r1=1 / 3, r2=2 / 3,
 def sample_dpm_fast(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
                     sigmas: jnp.ndarray,
                     key: Optional[jax.Array] = None,
-                    step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                    step_callback: Optional[StepCallback] = None,
+                    aux=None) -> jnp.ndarray:
     """DPM-Solver-Fast (Lu et al. 2022; k-diffusion sample_dpm_fast):
     fixed uniform grid in t = -log sigma from sigma_max to the smallest
     nonzero sigma, solved with order-3 segments and an order-(2,1 | n%3)
@@ -494,6 +526,9 @@ def sample_dpm_fast(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
     a single `lax.scan` (the UNet is traced once, not per segment).  A final
     exact jump to sigma=0 (x = denoised) matches this module's convention of
     ending at sigmas[-1]=0 (k-diffusion stops at sigma_min)."""
+    if aux is not None:
+        raise ValueError("DeepCache (stateful denoised_fn) is not supported"
+                         " by this sampler: its schedule is segmented host-side")
     import numpy as _np
 
     sig_np = _np.asarray(sigmas)
@@ -536,13 +571,17 @@ def sample_dpm_adaptive(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
                         h_init: float = 0.05, pcoeff: float = 0.0,
                         icoeff: float = 1.0, dcoeff: float = 0.0,
                         accept_safety: float = 0.81, max_iters: int = 128,
-                        step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                        step_callback: Optional[StepCallback] = None,
+                    aux=None) -> jnp.ndarray:
     """DPM-Solver-12/23 adaptive (k-diffusion dpm_solver_adaptive) as a
     `lax.while_loop`: embedded (order-1,2 | 2,3) pairs give a local error
     estimate driving a PID step-size controller (k-diffusion
     PIDStepSizeController with the atan limiter).  `sigmas` supplies only the
     endpoints; `max_iters` bounds the traced loop (jit-safe).  Ends with the
     exact jump to sigma=0 like sample_dpm_fast."""
+    if aux is not None:
+        raise ValueError("DeepCache (stateful denoised_fn) is not supported"
+                         " by this sampler: its schedule is segmented host-side")
     import numpy as _np
 
     sig_np = _np.asarray(sigmas)
@@ -604,7 +643,8 @@ def sample_dpm_adaptive(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
 def sample_dpmpp_2m_sde(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
                         sigmas: jnp.ndarray, key: jax.Array, eta: float = 1.0,
                         s_noise: float = 1.0,
-                        step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                        step_callback: Optional[StepCallback] = None,
+                        aux=None) -> jnp.ndarray:
     """DPM-Solver++(2M) SDE, midpoint solver type (k-diffusion
     sample_dpmpp_2m_sde): multistep data-prediction update with an
     exponentially-decayed noise mix.  Per-step fold_in gaussian noise stands
@@ -615,9 +655,9 @@ def sample_dpmpp_2m_sde(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
         return -jnp.log(jnp.maximum(s, 1e-10))
 
     def body(carry, inp):
-        x, old_den, h_last, have_old, k = carry
+        x, old_den, h_last, have_old, k, aux = carry
         i, s, sn = inp
-        den = denoised_fn(x, s, i)
+        den, aux = _dcall(denoised_fn, x, s, i, aux)
 
         def last(_):
             return den, h_last
@@ -638,18 +678,19 @@ def sample_dpmpp_2m_sde(denoised_fn: DenoisedStepFn, x: jnp.ndarray,
 
         x_new, h_new = jax.lax.cond(sn > 0, step, last, None)
         _notify(step_callback, i, x_new)
-        return (x_new, den, h_new, jnp.bool_(True), k), None
+        return (x_new, den, h_new, jnp.bool_(True), k, aux), None
 
     steps = jnp.arange(sig.shape[0])
-    init = (x, jnp.zeros_like(x), jnp.asarray(1.0), jnp.bool_(False), key)
-    (x, _, _, _, _), _ = jax.lax.scan(body, init, (steps, sig, sig_next))
+    init = (x, jnp.zeros_like(x), jnp.asarray(1.0), jnp.bool_(False), key, aux)
+    (x, _, _, _, _, _), _ = jax.lax.scan(body, init, (steps, sig, sig_next))
     return x
 
 
 def sample_restart(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndarray,
                    key: jax.Array, s_noise: float = 1.0,
                    restart_info: Optional[Tuple[float, float, int, int]] = None,
-                   step_callback: Optional[StepCallback] = None) -> jnp.ndarray:
+                   step_callback: Optional[StepCallback] = None,
+                    aux=None) -> jnp.ndarray:
     """Restart sampling (Xu et al. 2023; A1111 sd_samplers_extra 'Restart'):
     Heun through the main schedule, then K restart cycles that re-noise from
     sigma_min_r up to sigma_max_r and descend again over an exp-spaced
@@ -657,6 +698,9 @@ def sample_restart(denoised_fn: DenoisedStepFn, x: jnp.ndarray, sigmas: jnp.ndar
 
     ``restart_info`` = (sigma_min_r, sigma_max_r, n_seg_steps, k_restarts);
     the default mirrors A1111's {0.1: [10, 2]} heuristic."""
+    if aux is not None:
+        raise ValueError("DeepCache (stateful denoised_fn) is not supported"
+                         " by this sampler: its schedule is segmented host-side")
     import numpy as _np
 
     # all schedule math is host-side numpy: `sigmas` must be CONCRETE

@@ -370,6 +370,15 @@ def demofusion_generate(
     from ..pipeline import GenerationResult   # cycle-free at call time
 
     sp = sampler or SamplerConfig()
+    if sp.deepcache > 1:
+        # DemoFusion's window jitter re-randomizes tile geometry every step,
+        # so cached deep features would not correspond to the same windows
+        import dataclasses as _dc
+        import sys as _sys
+
+        print("[DemoFusion] DeepCache is not supported here; running the "
+              "full model every step", file=_sys.stderr)
+        sp = _dc.replace(sp, deepcache=1)
     h0, w0 = height // 8, width // 8
     key = jax.random.PRNGKey(seed)
 
@@ -420,7 +429,7 @@ def demofusion_generate(
                 # cnparams as a jit argument: _model_fn would otherwise close
                 # over self.controlnet_params and bake GBs of ControlNet
                 # weights into the HLO as constants (remote-compile killer)
-                guided, _ = pipe._make_guided(sp.cfg_scale, uparams, cnparams)
+                guided, _, _ = pipe._make_guided(sp.cfg_scale, uparams, cnparams)
                 # per-step cooperative interruption, same as the tiled pipeline
                 den_fn = pipe._interruptible(make_demofusion_denoiser(
                     plan, cfg, guided, c, u, lat0, noise, t_enc, jitter))

@@ -215,6 +215,7 @@ def make_tiled_denoiser(
     mesh=None,
     sharded_tile_denoise=None,
     tile_conds_fn=None,
+    stateful: bool = False,
 ):
     """Build `denoised_fn(x, sigma, step)` fusing per-tile denoising.
 
@@ -231,6 +232,14 @@ def make_tiled_denoiser(
     pytree whose every leaf has leading tile axis [T, B, ...], built with
     tiling/conds.py::tile_cond_stacked).  Regions stay replicated — they are
     few and each may use its own params/LoRA.
+
+    ``stateful=True`` (DeepCache feature caching): ``tile_denoise`` takes an
+    extra per-batch ``cache`` arg and returns ``(out, cache)``; the built
+    ``denoised_fn(x, sigma, step, aux)`` threads ``aux`` (a tuple of
+    per-batch caches) and returns ``(x_out, aux)``.  Regions and the org_fn
+    passthrough always run the full model — caching accelerates the
+    background grid only (regions are the user-emphasized areas).  Mesh
+    sharding and the lax.scan grid are not combined with caching (v1).
     """
     is_mod = plan.method == Method.MIX_DIFF
     weights = jnp.asarray(plan.weights)
@@ -260,6 +269,12 @@ def make_tiled_denoiser(
         for i, r in enumerate(plan.regions) if r.blend_mode == BlendMode.FOREGROUND
     }
 
+    if stateful and (mesh is not None or plan.scan_tiles):
+        raise ValueError(
+            "DeepCache caching is not supported together with mesh sharding "
+            "or the lax.scan tile grid (set tile_scan=False / drop the mesh, "
+            "or disable deepcache)")
+
     use_sharded = (mesh is not None and sharded_tile_denoise is not None
                    and plan.draw_background and len(plan.bboxes) > 0)
     sharded_grid = None
@@ -274,18 +289,21 @@ def make_tiled_denoiser(
         scan_grid = _make_scan_grid(plan, sharded_tile_denoise, tile_conds_fn,
                                     ptw_np)
 
-    def denoised_fn(x: jnp.ndarray, sigma: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
+    def denoised_core(x: jnp.ndarray, sigma: jnp.ndarray, step: jnp.ndarray,
+                      aux):
         B, C, H, W = x.shape
         if (H, W) != (plan.h, plan.w):
             if org_fn is None:
                 raise ValueError(
                     f"input {H}x{W} does not match tile plan {plan.h}x{plan.w}"
                     " and no org_fn passthrough was provided")
-            return org_fn(x, sigma, step)
+            return org_fn(x, sigma, step), aux
 
         buf = jnp.zeros_like(x)
         fused_on, fused_interp = _use_fused_blend()
-        fused_grid = plan.draw_background and not use_sharded and fused_on
+        fused_grid = (plan.draw_background and not use_sharded and fused_on
+                      and not stateful)
+        new_caches = []
 
         if use_sharded:
             buf = sharded_grid(x, sigma, step)
@@ -307,7 +325,12 @@ def make_tiled_denoiser(
                         [tiles, jnp.repeat(tiles[-1:], Kp - K, axis=0)], axis=0)
                     call_bboxes = tuple(bboxes) + (bboxes[-1],) * (Kp - K)
                 flat = tiles.reshape(Kp * B, C, plan.tile_h, plan.tile_w)
-                out = tile_denoise(flat, sigma, step, call_bboxes, batch_i)
+                if stateful:
+                    out, ncache = tile_denoise(flat, sigma, step, call_bboxes,
+                                               batch_i, aux[batch_i])
+                    new_caches.append(ncache)
+                else:
+                    out = tile_denoise(flat, sigma, step, call_bboxes, batch_i)
                 out = out.reshape(Kp, B, C, plan.tile_h, plan.tile_w)[:K]
                 if fused_grid:
                     all_out.append(out)
@@ -359,7 +382,13 @@ def make_tiled_denoiser(
 
         if feather_buf is not None:
             x_out = feather_blend(x_out, feather_buf, feather_msk, feather_cnt)
-        return x_out
+        return x_out, (tuple(new_caches) if stateful else aux)
+
+    if stateful:
+        return denoised_core
+
+    def denoised_fn(x, sigma, step):
+        return denoised_core(x, sigma, step, None)[0]
 
     return denoised_fn
 
