@@ -10,11 +10,12 @@
      8192x8192 tiled-VAE encode+decode at fixed HBM, and the full
      2048->8192 x4 MoD img2img upscale with noise inversion
 
-Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline",
-"secondary": {...}}.  Hardened against the flaky remote-TPU tunnel: probe
-retries, bounded per-phase budgets, and a partial result is always emitted
-even when later configs fail (round-1 postmortem: a dead tunnel produced
-no JSON at all).
+Streams the result JSON line to stdout after EVERY phase (consumers take
+the last line): {"metric", "value", "unit", "vs_baseline", "secondary"}.
+Hardened against the flaky remote-TPU tunnel and outer kill windows: probe
+retries, bounded per-phase budgets, SIGTERM/SIGINT handlers that emit the
+partial result before dying (round-3 postmortem: an outer timeout mid-8K
+produced parsed=null), and a partial result on any phase failure.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 Baseline estimate for config 2 on the reference stack (A1111 +
@@ -24,6 +25,7 @@ applied to community-reported panorama timings.  vs_baseline = ours / 6.
 """
 import json
 import os
+import signal
 import sys
 import time
 
@@ -34,7 +36,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/mdu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 BASELINE_IMG_PER_MIN = 6.0
-BUDGET = int(os.environ.get("MDU_BENCH_BUDGET_SECS", "2700"))
+# Default well under the driver's observed kill window: BENCH_r03 ran with
+# BUDGET=2700 and was SIGTERM'd mid-phase (rc=124, no JSON).  2100s leaves
+# headroom for model-build + JSON emission even on a cold compile cache.
+BUDGET = int(os.environ.get("MDU_BENCH_BUDGET_SECS", "2100"))
 START = time.time()
 RESULT = {"metric": "sd15_multidiffusion_txt2img_2048x512_20steps",
           "value": 0.0, "unit": "images/min/chip", "vs_baseline": 0.0,
@@ -45,9 +50,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def emit_and_exit(code=0):
+def emit():
+    """Stream the current (partial) result as one JSON line.  Called after
+    every phase so an outer kill can never erase measured numbers again
+    (round-3 postmortem: rc=124 mid-8K left parsed=null); consumers take the
+    LAST JSON line on stdout."""
     print(json.dumps(RESULT), flush=True)
+
+
+def emit_and_exit(code=0):
+    emit()
     sys.exit(code)
+
+
+def _term_handler(signum, frame):
+    RESULT["secondary"]["killed_by_signal"] = int(signum)
+    RESULT["secondary"]["elapsed_at_kill_s"] = round(time.time() - START, 1)
+    emit_and_exit(0)
+
+
+signal.signal(signal.SIGTERM, _term_handler)
+signal.signal(signal.SIGINT, _term_handler)
 
 
 def probe_device(seconds=120):
@@ -184,7 +207,8 @@ def bench_panorama(pipe, cond, uncond):
     td = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=96, tile_h=96,
                               overlap=48, tile_bs=8)
     tv = TiledVAEConfig(decoder_tile_size=64, fast_decoder=False, fast_encoder=False)
-    sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0)
+    sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
+                       deepcache=_bench_deepcache())
 
     def run(seed):
         return pipe.txt2img(cond, uncond, width=2048, height=512, sampler=sp,
@@ -256,17 +280,37 @@ def force(x):
     return np.asarray(jax.tree.leaves(x)[0][(0,) * jax.tree.leaves(x)[0].ndim])
 
 
-def bench_8k(pipe, cond, uncond):
-    """North-star config: the reference's 8K envelope on one chip.
+def _vae_8k_config():
+    from mdu_tpu.config import TiledVAEConfig
 
-    (a) tiled-VAE encode+decode of 8192x8192 in the reference's own 8K
-        configuration — fast encoder + fast decoder (ref tilevae.py:659-758
-        UI defaults; the published '8K in ~10 GB VRAM' envelope,
-        tilevae.py:16-22, is measured in this mode) — fully device-resident;
-    (b) 2048->8192 x4 MoD img2img upscale + tiled noise inversion — the
-        headline 2K->8K workload (BASELINE.md metric).  The 1024^2 latent
-        canvas is 144 tiles = 18 tile batches, so the lax.scan tile grid
-        auto-engages (MDU_TILE_SCAN_THRESHOLD).
+    # Encoder tile 512 keeps one tile-batch's live set ~2.7 GB beside the
+    # resident UNet; fast modes are the reference's own published 8K
+    # configuration (tilevae.py:659-758 UI defaults).
+    return TiledVAEConfig(encoder_tile_size=512, decoder_tile_size=64,
+                          fast_decoder=True, fast_encoder=True, tile_batch=8)
+
+
+def _analytic_hbm_gb(which: str, tile_size: int, h: int, w: int, B: int,
+                     tile_batch: int) -> float:
+    """Analytic high-water estimate for a fast tiled-VAE pass — auditable
+    stand-in for memory_stats(), which the axon backend does not expose
+    (VERDICT r3 weak #4).  Same footprint-model family that drives exact-mode
+    dispatch (tiling/tiled_vae.py)."""
+    from mdu_tpu.tiling.tiled_vae import (DECODER_PAD, ENCODER_PAD,
+                                          fast_footprint_bytes,
+                                          plan_vae_tiles)
+
+    pad = ENCODER_PAD if which == "encoder" else DECODER_PAD
+    plan = plan_vae_tiles(h, w, tile_size, pad)
+    n = 1 if plan is None else plan.num_tiles
+    ts = tile_size if plan is None else max(plan.tile_h, plan.tile_w)
+    return round(fast_footprint_bytes(which, ts, n, B, tile_batch) / 2**30, 2)
+
+
+def bench_8k_vae(pipe):
+    """North-star (a): tiled-VAE encode+decode of 8192x8192 in the
+    reference's own 8K configuration (ref tilevae.py:16-22 published
+    envelope; UI defaults :659-758) — fully device-resident.
 
     The exact streaming modes (this repo's extension: exact cross-tile
     GroupNorm stats at fixed HBM, tiling/streaming_vae.py) stay out of the
@@ -276,20 +320,12 @@ def bench_8k(pipe, cond, uncond):
     The paths are parity-tested in tests/test_tiled_vae.py and
     auto-dispatch for exact requests via pipeline._exact_vae_mode.
     """
-    import numpy as np
-
-    from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
     from mdu_tpu.models.vae import sample_from_moments
 
     # MDU_BENCH_8K_SIZE shrinks the whole phase proportionally for a CPU
     # smoke of the exact flow (e.g. 1024); the driver runs the real 8192.
     SIZE = int(os.environ.get("MDU_BENCH_8K_SIZE", "8192"))
-
-    # (a) VAE roundtrip at SIZE^2, canvas generated on-device (the tunnel is
-    # a dev artifact; the metric is chip throughput).  Encoder tile 512
-    # keeps one tile-batch's live set ~2.7 GB beside the resident UNet.
-    tv = TiledVAEConfig(encoder_tile_size=512, decoder_tile_size=64,
-                        fast_decoder=True, fast_encoder=True, tile_batch=8)
+    tv = _vae_8k_config()
     x = jax.jit(lambda k: jax.random.uniform(
         k, (1, 3, SIZE, SIZE), jnp.bfloat16, -1.0, 1.0))(jax.random.PRNGKey(0))
     jax.block_until_ready(x)
@@ -316,23 +352,35 @@ def bench_8k(pipe, cond, uncond):
     RESULT["secondary"]["tiled_vae_encode_8192sq_mpix_s"] = round(enc, 2)
     RESULT["secondary"]["tiled_vae_decode_8192sq_mpix_s"] = round(dec, 2)
     RESULT["secondary"]["hbm_peak_after_8k_vae_gb"] = _hbm_peak_gb()
+    RESULT["secondary"]["hbm_analytic_8k_encode_gb"] = _analytic_hbm_gb(
+        "encoder", tv.encoder_tile_size, SIZE, SIZE, 1, tv.tile_batch)
+    RESULT["secondary"]["hbm_analytic_8k_decode_gb"] = _analytic_hbm_gb(
+        "decoder", tv.decoder_tile_size, SIZE // 8, SIZE // 8, 1, tv.tile_batch)
     log(f"8k vae: encode {enc:.2f} Mpix/s, decode {dec:.2f} Mpix/s, "
         f"hbm peak {_hbm_peak_gb()} GiB")
-    if budget_left() < 600:
-        log("skipping 8k upscale: budget")
-        RESULT["secondary"]["skipped_8k_upscale"] = "budget"
-        return
 
-    # (b) 2048 -> 8192 x4 MoD upscale + noise inversion.  decode=False +
-    # explicit _decode_tensor keeps the finished 200 MB image on-device:
-    # the host readback is pure tunnel latency, not chip throughput.
+
+def bench_8k_upscale(pipe, cond, uncond):
+    """North-star (b): 2048->8192 x4 MoD img2img upscale + tiled noise
+    inversion — the headline 2K->8K workload (BASELINE.md metric).  The
+    1024^2 latent canvas is 144 tiles = 18 tile batches, so the lax.scan
+    tile grid auto-engages (MDU_TILE_SCAN_THRESHOLD)."""
+    import numpy as np
+
+    from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig
+
+    SIZE = int(os.environ.get("MDU_BENCH_8K_SIZE", "8192"))
+    tv = _vae_8k_config()
+    # decode=False + explicit _decode_tensor keeps the finished 200 MB image
+    # on-device: the host readback is pure tunnel latency, not chip
+    # throughput.
     td = TiledDiffusionConfig(method=Method.MIX_DIFF, tile_w=96, tile_h=96,
                               overlap=8, tile_bs=8, upscaler="Lanczos",
                               scale_factor=4.0, noise_inverse=True,
                               noise_inverse_steps=10,
                               noise_inverse_renoise_strength=1.0)
     sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
-                       denoising_strength=0.4)
+                       denoising_strength=0.4, deepcache=_bench_deepcache())
     src = (np.random.default_rng(1).random((SIZE // 4, SIZE // 4, 3)) * 255).astype(np.uint8)
 
     def run(seed):
@@ -347,6 +395,11 @@ def bench_8k(pipe, cond, uncond):
     out = retry(lambda: run(0), "8k-upscale compile")
     log(f"8k upscale first (incl. compile): {time.time()-t0:.1f}s, "
         f"out {out.shape}")
+    # record the first pass too: if the kill arrives during the steady run,
+    # a compile-inclusive number still beats nothing
+    RESULT["secondary"]["upscale_2k_to_8k_first_incl_compile_s"] = round(
+        time.time() - t0, 1)
+    emit()
     t0 = time.time()
     out = run(1)
     dt = time.time() - t0
@@ -355,6 +408,11 @@ def bench_8k(pipe, cond, uncond):
     RESULT["secondary"]["hbm_peak_after_8k_upscale_gb"] = _hbm_peak_gb()
     log(f"8k upscale steady-state: {dt:.1f}s/image = {60/dt:.3f} img/min, "
         f"hbm peak {_hbm_peak_gb()} GiB")
+
+
+def _bench_deepcache() -> int:
+    """DeepCache interval for the diffusion phases (A/B knob; 1 = off)."""
+    return int(os.environ.get("MDU_BENCH_DEEPCACHE", "1"))
 
 
 def bench_regional(pipe, cond, uncond):
@@ -381,9 +439,13 @@ def bench_regional(pipe, cond, uncond):
     t0 = time.time()
     res = retry(lambda: run(0), "regional compile")
     log(f"config 4 first (incl. compile): {time.time()-t0:.1f}s, out {res.images.shape}")
+    n = 2                             # multi-sample steady state (VERDICT r3)
     t0 = time.time()
-    res = run(1)
-    RESULT["secondary"]["regional_4x_1536sq_img_per_min"] = round(60.0 / (time.time() - t0), 3)
+    for i in range(1, n + 1):
+        res = run(i)                  # txt2img returns a synced np image
+    dt = (time.time() - t0) / n
+    RESULT["secondary"]["regional_4x_1536sq_img_per_min"] = round(60.0 / dt, 3)
+    log(f"config 4 steady-state: {dt:.2f}s/image")
 
 
 def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
@@ -435,11 +497,14 @@ def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
                                 # reliably drain the axon queue (measured)
     dt = time.time() - t0
     log(f"config 5 (incl. compile): {dt:.1f}s, final latent {res.latents.shape}")
+    n = 2                             # multi-sample steady state (VERDICT r3)
     t0 = time.time()
-    res = pipe.demofusion(cond, uncond, 1024, 1024, cfg, sp, seed=1,
-                          tiled_vae=tv, decode=False)
-    np.asarray(res.latents)
-    RESULT["secondary"]["sdxl_demofusion_x3_s_per_image"] = round(time.time() - t0, 2)
+    for i in range(1, n + 1):
+        res = pipe.demofusion(cond, uncond, 1024, 1024, cfg, sp, seed=i,
+                              tiled_vae=tv, decode=False)
+        np.asarray(res.latents)
+    RESULT["secondary"]["sdxl_demofusion_x3_s_per_image"] = round(
+        (time.time() - t0) / n, 2)
 
 
 def main():
@@ -452,29 +517,40 @@ def main():
         emit_and_exit(0)
 
     # primary metric first: a failure (e.g. HBM exhaustion) in a secondary
-    # config must not poison the headline number (round-2 postmortem)
-    # primary first, then the 8K north-star workload, then the rest; the
-    # per-phase budget guard drops the tail when time runs short
-    phases = [("config2-panorama", lambda: bench_panorama(pipe, cond, uncond)),
-              ("config8k-envelope", lambda: bench_8k(pipe, cond, uncond)),
-              ("config1-vae", lambda: bench_vae(pipe)),
-              ("config3-mod-upscale", lambda: bench_mod_upscale(pipe, cond, uncond)),
-              ("config4-regional", lambda: bench_regional(pipe, cond, uncond)),
-              ("config5-sdxl-demofusion",
+    # config must not poison the headline number (round-2 postmortem).
+    # Cheap configs run before the two expensive compiles (8K upscale, SDXL
+    # DemoFusion) so a cold compile cache costs only the tail.  Each phase
+    # carries its own minimum-budget gate sized to its cold first pass, and
+    # the partial JSON streams to stdout after every phase.
+    phases = [("config2-panorama", 300,
+               lambda: bench_panorama(pipe, cond, uncond)),
+              ("config8k-vae", 300, lambda: bench_8k_vae(pipe)),
+              ("config1-vae", 200, lambda: bench_vae(pipe)),
+              ("config3-mod-upscale", 250,
+               lambda: bench_mod_upscale(pipe, cond, uncond)),
+              ("config4-regional", 250,
+               lambda: bench_regional(pipe, cond, uncond)),
+              ("config8k-upscale", 700,
+               lambda: bench_8k_upscale(pipe, cond, uncond)),
+              ("config5-sdxl-demofusion", 400,
                lambda: bench_sdxl_demofusion(pipe, cond, uncond))]
     only = os.environ.get("MDU_BENCH_CONFIGS")      # e.g. "2" or "1,2,8k"
-    for name, fn in phases:
+    for name, min_budget, fn in phases:
         if only and name.split("-")[0].lstrip("config") not in only.split(","):
             continue
-        if budget_left() < 300:
-            log(f"skipping {name}: {budget_left():.0f}s budget left")
+        if budget_left() < min_budget:
+            log(f"skipping {name}: {budget_left():.0f}s budget left "
+                f"(needs {min_budget})")
             RESULT["secondary"][f"skipped_{name}"] = "budget"
+            emit()
             continue
         try:
             retry(fn, name)
         except Exception as e:          # noqa: BLE001
             log(f"{name} FAILED: {e!r}")
             RESULT["secondary"][f"error_{name}"] = repr(e)[:200]
+        emit()
+    RESULT["secondary"]["total_wall_s"] = round(time.time() - START, 1)
     emit_and_exit(0)
 
 
