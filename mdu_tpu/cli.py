@@ -208,6 +208,7 @@ def _configs(args):
     sp = SamplerConfig(name=args.sampler, steps=args.steps, cfg_scale=args.cfg_scale,
                        schedule=args.schedule,
                        denoising_strength=getattr(args, "denoising_strength", 0.75),
+                       image_cfg_scale=getattr(args, "image_cfg_scale", None),
                        deepcache=args.deepcache,
                        deepcache_branch=args.deepcache_branch)
     return td, tv, sp, regions
@@ -372,6 +373,17 @@ def cmd_img2img(args):
     _graceful_interrupt(pipe)
     _apply_prompt_networks(pipe, args, regions)
     img = np.asarray(Image.open(args.init).convert("RGB"))
+    if getattr(args, "image_cfg_scale", None) is not None:
+        # edit-model (instruct-pix2pix) image conditioning: the UN-noised
+        # init-image latent rides as the 'concat' leaf on cond AND uncond —
+        # the 3-way guidance zeroes it on the du leg itself
+        # (ref abstractdiffusion.py:278-310; pipeline._make_guided)
+        from .utils.image import image_to_tensor
+
+        moments = pipe._encode(image_to_tensor(img), tv)
+        ilat = moments[:, : moments.shape[1] // 2]        # distribution mode
+        cond = {**cond, "concat": ilat}
+        uncond = {**uncond, "concat": ilat}
     mask = None
     if getattr(args, "mask", None):
         mask = np.asarray(Image.open(args.mask).convert("L")).astype(np.float32) / 255.0
@@ -473,6 +485,10 @@ def main(argv: Optional[List[str]] = None):
                    choices=["None", "Nearest", "Bilinear", "Bicubic", "Lanczos"])
     i.add_argument("--scale-factor", type=float, default=2.0)
     i.add_argument("--denoising-strength", type=float, default=0.75)
+    i.add_argument("--image-cfg-scale", type=float, default=None,
+                   help="edit-model (instruct-pix2pix) image guidance scale; "
+                        "enables 3-way CFG with the init image as 'concat' "
+                        "conditioning (needs an 8-channel ip2p UNet)")
     i.add_argument("--noise-inverse", action="store_true")
     i.add_argument("--noise-inverse-steps", type=int, default=10)
     i.add_argument("--noise-inverse-retouch", type=float, default=1.0)

@@ -114,6 +114,13 @@ class SamplerConfig:
     name: str = "Euler"          # Euler | Euler a | DDIM | DPM++ 2M | DPM++ 2M Karras
     steps: int = 20
     cfg_scale: float = 7.0
+    # Edit-model (instruct-pix2pix) image guidance: when set, denoising is
+    # 3-way — den = du + image_cfg*(di - du) + cfg*(dc - di), with di the
+    # uncond text + image 'concat' and du the uncond text + zeroed 'concat'
+    # (ref abstractdiffusion.py:17-19, 278-310 batches [cond, uncond, uncond]
+    # with the third leg's image conditioning zeroed by A1111's CFGDenoiser).
+    # None = ordinary 2-way CFG.
+    image_cfg_scale: Optional[float] = None
     eta: float = 0.0
     denoising_strength: float = 0.75   # img2img only
     schedule: str = "automatic"        # automatic | karras
@@ -143,6 +150,35 @@ def regions_to_json(regions: List[RegionSpec]) -> str:
         for i, r in enumerate(regions)
     }
     return json.dumps(payload, indent=2)
+
+
+def demofusion_from_png_info(info: dict) -> Tuple["DemoFusionConfig", "SamplerConfig"]:
+    """Recover the full DemoFusion + sampler configuration from a generated
+    PNG's metadata (tiling/demofusion.py writes it) — the DemoFusion
+    analogue of the reference's reproduce-from-infotext flow
+    (ref tileglobal.py:28-40, 172-191)."""
+    b = info.get("DemoFusion") or {}
+    cfg = DemoFusionConfig(
+        scale_factor=int(b.get("Scale factor", 3)),
+        window_size=int(b.get("Window size", 128)),
+        overlap=int(b.get("Overlap", 64)),
+        tile_bs=int(b.get("Tile batch size", 4)),
+        tile_bs_g=int(b.get("Global batch size", 4)),
+        cosine_scale_1=float(b.get("Cosine scale 1", 3.0)),
+        cosine_scale_2=float(b.get("Cosine scale 2", 1.0)),
+        cosine_scale_3=float(b.get("Cosine scale 3", 1.0)),
+        sigma=float(b.get("Sigma", 0.6)),
+        random_jitter=bool(b.get("Random jitter", True)),
+        mixture=bool(b.get("Mixture", False)),
+        gaussian_filter=bool(b.get("Gaussian filter", True)),
+        keep_intermediate=bool(b.get("Keep intermediate", True)),
+        denoise_strengths=tuple(float(s) for s in
+                                b.get("Denoise strengths", (0.45,))),
+    )
+    sp = SamplerConfig(name=info.get("Sampler", "Euler"),
+                       steps=int(info.get("Steps", 20)),
+                       cfg_scale=float(info.get("CFG scale", 7.0)))
+    return cfg, sp
 
 
 def regions_from_png_info(info: dict) -> List[RegionSpec]:

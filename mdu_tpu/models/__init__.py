@@ -24,6 +24,7 @@ from .unet import (
     UNet2DCondition,
     UNetConfig,
     sd15_unet_config,
+    sd21_unclip_unet_config,
     sd21_unet_config,
     sdxl_unet_config,
     tiny_sdxl_unet_config,
@@ -40,6 +41,7 @@ __all__ = [
     "CLIPTextConfig", "CLIPTextModel", "clip_l_config", "open_clip_bigg_config",
     "open_clip_h_config", "tiny_clip_config",
     "UNet2DCondition", "UNetConfig", "sd15_unet_config", "sd21_unet_config",
+    "sd21_unclip_unet_config",
     "sdxl_unet_config", "tiny_sdxl_unet_config", "tiny_unet_config",
     "AutoencoderKL", "Decoder", "Encoder", "VAEConfig", "sample_from_moments",
     "tiny_vae_config",

@@ -41,6 +41,12 @@ class UNetConfig:
     addition_pooled_dim: int = 1280
     num_time_ids: int = 6
     norm_num_groups: int = 32
+    # unclip-class image conditioning (SD2.1-unCLIP): a [B, adm_in_channels]
+    # CLIP image embedding enters as added_cond['adm'] and is MLP-projected
+    # into the time embedding — the 'c_adm' icond of the reference's cond
+    # contract (ref abstractdiffusion.py:133-141: conditioning_key
+    # 'crossattn-adm'; LDM num_classes='sequential' label_emb).  None = off.
+    adm_in_channels: Optional[int] = None
 
     def heads_for(self, channels: int) -> int:
         if self.head_dim is not None:
@@ -59,6 +65,16 @@ def sd15_unet_config() -> UNetConfig:
 def sd21_unet_config() -> UNetConfig:
     return UNetConfig(cross_attention_dim=1024, num_heads=None, head_dim=64,
                       use_linear_projection=True)
+
+
+def sd21_unclip_unet_config(variant: str = "l") -> UNetConfig:
+    """SD2.1-unCLIP: the SD2.1 backbone plus a CLIP image-embedding 'adm'
+    conditioning head ('l' = ViT-L image embed stack, adm 1536; 'h' = ViT-H,
+    adm 2048).  Ref abstractdiffusion.py:133-141 routes this as the c_adm
+    icond."""
+    return UNetConfig(cross_attention_dim=1024, num_heads=None, head_dim=64,
+                      use_linear_projection=True,
+                      adm_in_channels=1536 if variant == "l" else 2048)
 
 
 def sdxl_unet_config() -> UNetConfig:
@@ -310,6 +326,16 @@ class UNet2DCondition(nn.Module):
             add = Linear(ted, dtype=self.dtype, name="add_embed_1")(add)
             add = Linear(ted, dtype=self.dtype, name="add_embed_2")(silu(add))
             temb = temb + add
+
+        if cfg.adm_in_channels is not None:
+            # unclip image conditioning: LDM's sequential label_emb MLP on
+            # the c_adm vector, summed into the time embedding
+            assert added_cond is not None and "adm" in added_cond, \
+                "unclip-class model needs added_cond['adm'] (cond['adm'])"
+            lab = added_cond["adm"].astype(temb.dtype)
+            lab = Linear(ted, dtype=self.dtype, name="label_embed_1")(lab)
+            lab = Linear(ted, dtype=self.dtype, name="label_embed_2")(silu(lab))
+            temb = temb + lab
 
         if nhwc:
             x = x.transpose(0, 2, 3, 1)

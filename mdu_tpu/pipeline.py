@@ -198,6 +198,16 @@ class DiffusionPipeline:
                 if tids is None:
                     tids = jnp.ones((B, unet.cfg.num_time_ids), jnp.float32)
                 added = {"text_embeds": vec, "time_ids": tids}
+            if unet.cfg.adm_in_channels is not None:
+                # unclip icond: cond['adm'] [B, adm_dim] CLIP image embedding
+                # (ref abstractdiffusion.py:133-141 'c_adm'); tile_cond
+                # replicates it per tile like the other vector leaves
+                adm = cond.get("adm")
+                if adm is None:
+                    raise ValueError("unclip-class model needs cond['adm'] "
+                                     "(CLIP image embedding, ref "
+                                     "abstractdiffusion.py:138-168)")
+                added = {**(added or {}), "adm": adm}
             residuals = None
             hints = cond.get("control")
             if controlnet is not None and hints:
@@ -260,11 +270,20 @@ class DiffusionPipeline:
         return lambda step, _c=c: _c
 
     def _make_guided(self, cfg_scale: float, unet_params=None,
-                     controlnet_params=None, deepcache_branch: int = 1):
+                     controlnet_params=None, deepcache_branch: int = 1,
+                     image_cfg_scale: Optional[float] = None):
         """Build the CFG'd denoiser core shared by the tiled pipeline and
         DemoFusion: ``guided(x, sigma, c, u, den_=den) -> denoised`` with
         AND-composition, cond batch alignment, and classifier-free guidance
         (the reference's CFGDenoiser responsibilities, SURVEY.md L0).
+
+        ``image_cfg_scale`` enables the edit-model (instruct-pix2pix) 3-way
+        guidance the reference supports via its [cond, uncond, uncond] batch
+        layout (ref abstractdiffusion.py:17-19, 278-310, 330-427):
+        ``den = du + image_cfg*(di - du) + cfg*(dc - di)`` where ``di`` is
+        the text-uncond + image 'concat' leg and ``du`` the text-uncond with
+        the 'concat' image conditioning zeroed.  At image_cfg=1 this reduces
+        exactly to 2-way CFG (both share the di leg).
 
         Also returns ``guided_cached(x, sigma, c, u, cache, is_cached) ->
         (denoised, cache)`` — the same CFG/AND math over the stateful
@@ -293,11 +312,36 @@ class DiffusionPipeline:
 
             return jax.tree.map(rep, c)
 
+        def _edit_legs(x, u):
+            """Validate + build the du (zeroed image concat) leg for 3-way
+            edit-model guidance.  Static trace-time checks: the cond contract
+            is shape-resolved here."""
+            if not (isinstance(u, dict) and u.get("concat") is not None
+                    and u["concat"].ndim == 4 and u["concat"].shape[1] > 0
+                    and u["concat"].shape[-2:] == x.shape[-2:]):
+                raise ValueError(
+                    "image_cfg_scale requires an edit-model image "
+                    "conditioning: a latent-shaped 'concat' leaf on the "
+                    "uncond (ref abstractdiffusion.py:278-310)")
+            return {**u, "concat": jnp.zeros_like(u["concat"])}
+
         def guided(x, sigma, c, u, den_=den):
             B = x.shape[0]
             c = _align(c, B)
             u = _align(u, B)
             s = jnp.broadcast_to(jnp.atleast_1d(sigma), (B,))
+            if image_cfg_scale is not None:
+                if isinstance(c, dict) and "__and__" in c:
+                    raise ValueError("image_cfg_scale cannot be combined "
+                                     "with AND prompt composition")
+                if u is None:
+                    raise ValueError("image_cfg_scale needs an uncond")
+                u0 = _edit_legs(x, u)
+                x3 = jnp.concatenate([x, x, x], axis=0)
+                s3 = jnp.concatenate([s, s, s])
+                d = den_(x3, s3, concat_conds(concat_conds(u0, u), c))
+                du, di, dc_ = jnp.split(d, 3, axis=0)
+                return du + image_cfg_scale * (di - du) + cfg_scale * (dc_ - di)
             if isinstance(c, dict) and "__and__" in c:
                 # composable diffusion (A1111 'AND'): den = den_u +
                 # cfg * sum_i w_i (den_i - den_u)
@@ -328,6 +372,21 @@ class DiffusionPipeline:
             c = _align(c, B)
             u = _align(u, B)
             s = jnp.broadcast_to(jnp.atleast_1d(sigma), (B,))
+            if image_cfg_scale is not None:
+                if isinstance(c, dict) and "__and__" in c:
+                    raise ValueError("image_cfg_scale cannot be combined "
+                                     "with AND prompt composition")
+                if u is None:
+                    raise ValueError("image_cfg_scale needs an uncond")
+                u0 = _edit_legs(x, u)
+                x3 = jnp.concatenate([x, x, x], axis=0)
+                s3 = jnp.concatenate([s, s, s])
+                d, cache = den_cached(x3, s3,
+                                      concat_conds(concat_conds(u0, u), c),
+                                      cache, is_cached)
+                du, di, dc_ = jnp.split(d, 3, axis=0)
+                return (du + image_cfg_scale * (di - du)
+                        + cfg_scale * (dc_ - di)), cache
             if isinstance(c, dict) and "__and__" in c:
                 parts, wts = c["__and__"], c["__weights__"]
                 P = len(parts)
@@ -367,9 +426,11 @@ class DiffusionPipeline:
         controlnet_params=None,
         deepcache: int = 1,
         deepcache_branch: int = 1,
+        image_cfg_scale: Optional[float] = None,
     ):
         guided, den, guided_cached = self._make_guided(
-            cfg_scale, unet_params, controlnet_params, deepcache_branch)
+            cfg_scale, unet_params, controlnet_params, deepcache_branch,
+            image_cfg_scale)
         dc = deepcache > 1
         cond_f = self._as_cond_fn(cond)
         uncond_f = self._as_cond_fn(uncond)
@@ -447,10 +508,20 @@ class DiffusionPipeline:
                 u = {**u, "__weights__": uw}
             return guided(flat, sigma, c, u)
 
+        def sharded_td_c(flat, sigma, step, conds, cache):
+            c, u = conds["c"], conds["u"]
+            if cw is not None:
+                c = {**c, "__weights__": cw}
+            if uw is not None and u is not None:
+                u = {**u, "__weights__": uw}
+            return guided_cached(flat, sigma, c, u, cache,
+                                 (step % deepcache) != 0)
+
         if dc:
             return self._interruptible(make_tiled_denoiser(
                 plan, tile_denoise_c,
                 region_denoise if plan.regions else None, org_fn,
+                sharded_tile_denoise=sharded_td_c, tile_conds_fn=conds_fn,
                 stateful=True), stateful=True)
 
         return self._interruptible(make_tiled_denoiser(
@@ -460,17 +531,22 @@ class DiffusionPipeline:
             tile_conds_fn=conds_fn))
 
     def _deepcache_aux(self, plan, cond, uncond, cfg_scale: float,
-                       branch: int, B: int, hw: Tuple[int, int]):
+                       branch: int, B: int, hw: Tuple[int, int],
+                       image_cfg_scale: Optional[float] = None):
         """Zero-initialized DeepCache feature caches (sampler ``aux``).
 
         One cache array per UNet call site: [mult*K*B, C_b, h', w'] where
-        ``mult`` is the CFG batch multiple (2, or P+1 under AND), ``C_b`` the
-        channel width entering the branch point, and (h', w') the tile
-        spatial at level ``branch-1``.  Step 0 always runs the full model
-        (step % interval == 0), so zeros are never consumed."""
-        mult = (len(cond["__and__"]) + 1
-                if isinstance(cond, dict) and "__and__" in cond
-                else (1 if (uncond is None or cfg_scale == 1.0) else 2))
+        ``mult`` is the CFG batch multiple (2, P+1 under AND, or 3 under
+        edit-model image CFG), ``C_b`` the channel width entering the branch
+        point, and (h', w') the tile spatial at level ``branch-1``.  Step 0
+        always runs the full model (step % interval == 0), so zeros are
+        never consumed."""
+        if image_cfg_scale is not None:
+            mult = 3
+        elif isinstance(cond, dict) and "__and__" in cond:
+            mult = len(cond["__and__"]) + 1
+        else:
+            mult = 1 if (uncond is None or cfg_scale == 1.0) else 2
         ch = self.unet.cfg.block_out_channels[branch]
         down = 2 ** (branch - 1)
         nhwc = self.unet.layout == "NHWC"
@@ -486,6 +562,14 @@ class DiffusionPipeline:
         if plan is None or not plan.draw_background:
             return jnp.zeros(cshape(mult * B, *hw), self.unet.dtype) \
                 if plan is None else ()
+        if plan.scan_tiles and len(plan.batched) > 1:
+            # lax.scan grid: every chunk is padded to exactly tile_bs, so the
+            # caches stack into one uniform [n_chunks, ...] scan input
+            n_chunks = len(plan.batched)
+            return jnp.zeros(
+                (n_chunks,) + cshape(mult * plan.tile_bs * B,
+                                     plan.tile_h, plan.tile_w),
+                self.unet.dtype)
         caches = []
         for bb in plan.batched:
             Kp = plan.tile_bs if plan.uniform_batches else len(bb)
@@ -623,12 +707,13 @@ class DiffusionPipeline:
                                                 region_unet_params=rparams,
                                                 controlnet_params=cnparams,
                                                 deepcache=sp.deepcache,
-                                                deepcache_branch=sp.deepcache_branch)
+                                                deepcache_branch=sp.deepcache_branch,
+                                                image_cfg_scale=sp.image_cfg_scale)
                 kw = {"step_callback": cb}
                 if sp.deepcache > 1:
                     kw["aux"] = self._deepcache_aux(
                         plan, c, u, sp.cfg_scale, sp.deepcache_branch,
-                        x.shape[0], (h, w))
+                        x.shape[0], (h, w), sp.image_cfg_scale)
                 if sp.s_churn > 0 and sp.name in ("Euler", "Heun", "DPM2"):
                     kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
                               s_tmax=sp.s_tmax, s_noise=sp.s_noise)
@@ -645,7 +730,8 @@ class DiffusionPipeline:
                     sp.cfg_scale, (sp.s_churn, sp.s_tmin, sp.s_tmax, sp.s_noise),
                     uncond is None, len(region_conds),
                     step_callback is not None,
-                    (sp.deepcache, sp.deepcache_branch))
+                    (sp.deepcache, sp.deepcache_branch),
+                    sp.image_cfg_scale)
             if sp.name in STATIC_SIGMA_SAMPLERS:
                 jkey += (tuple(np.asarray(sigmas_const).tolist()),)
             runner = self._cached_jit(jkey, builder)
@@ -774,7 +860,8 @@ class DiffusionPipeline:
                                                 region_unet_params=rparams,
                                                 controlnet_params=cnparams,
                                                 deepcache=sp.deepcache,
-                                                deepcache_branch=sp.deepcache_branch)
+                                                deepcache_branch=sp.deepcache_branch,
+                                                image_cfg_scale=sp.image_cfg_scale)
                 if init_mask is not None:
                     init_lat, lm = init_mask
                     inner = den_fn
@@ -790,7 +877,7 @@ class DiffusionPipeline:
                 if sp.deepcache > 1:
                     kw["aux"] = self._deepcache_aux(
                         plan, c, u, sp.cfg_scale, sp.deepcache_branch,
-                        x.shape[0], (h, w))
+                        x.shape[0], (h, w), sp.image_cfg_scale)
                 if sp.s_churn > 0 and sp.name in ("Euler", "Heun", "DPM2"):
                     kw.update(s_churn=sp.s_churn, s_tmin=sp.s_tmin,
                               s_tmax=sp.s_tmax, s_noise=sp.s_noise)
@@ -808,7 +895,8 @@ class DiffusionPipeline:
                     uncond is None, len(region_conds),
                     latent_mask is not None,
                     step_callback is not None,
-                    (sp.deepcache, sp.deepcache_branch))
+                    (sp.deepcache, sp.deepcache_branch),
+                    sp.image_cfg_scale)
             if sp.name in STATIC_SIGMA_SAMPLERS:
                 jkey += (tuple(np.asarray(sigmas_const).tolist()),)
             runner = self._cached_jit(jkey, builder)
@@ -1130,6 +1218,8 @@ class DiffusionPipeline:
             "Sampler": sp.name, "Steps": sp.steps, "CFG scale": sp.cfg_scale,
             "Seed": seed,
         }
+        if sp.image_cfg_scale is not None:
+            info["Image CFG scale"] = sp.image_cfg_scale
         if td is not None and td.enabled:
             block = {
                 "Method": td.method,

@@ -7,9 +7,11 @@ slicing is generic over its leaves:
 
   cond = {
     'crossattn': [B, L, D]        text embeddings
-    'concat':    [B, C, h, w]     image conditioning (inpaint/img2img mask),
-                 or [B, C, 1, 1]  txt2img dummy
+    'concat':    [B, C, h, w]     image conditioning (inpaint/img2img mask,
+                 or [B, C, 1, 1]  txt2img dummy; edit-model ip2p image latent)
     'vector':    [B, D]           SDXL pooled+size vector (optional)
+    'adm':       [B, D]           unclip CLIP image embedding (optional;
+                                  ref 'c_adm', abstractdiffusion.py:133-141)
     'control':   [[B, C, H, W]]   ControlNet hints, pixel space (optional)
   }
 

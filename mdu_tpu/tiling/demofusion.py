@@ -467,8 +467,31 @@ def demofusion_generate(
     images = None
     if decode:
         images = [pipe._decode(l, tiled_vae) for l in keep]
-    return GenerationResult(images, keep[-1], seed,
-                            {"DemoFusion": {"Scale factor": cfg.scale_factor,
-                                            "Window size": cfg.window_size,
-                                            "Overlap": cfg.overlap,
-                                            "Mixture": cfg.mixture}})
+    # Full-knob metadata so a DemoFusion run is reproducible from its own
+    # PNG info, like tiled-diffusion runs (ref tileglobal.py:28-40 records
+    # per-phase sizes and :172-191 rewrites the infotext per emitted scale).
+    # config.demofusion_from_png_info() round-trips this block.
+    info = {
+        "Sampler": sp.name, "Steps": sp.steps, "CFG scale": sp.cfg_scale,
+        "Seed": seed,
+        "DemoFusion": {
+            "Scale factor": cfg.scale_factor,
+            "Window size": cfg.window_size,
+            "Overlap": cfg.overlap,
+            "Tile batch size": cfg.tile_bs,
+            "Global batch size": cfg.tile_bs_g,
+            "Cosine scale 1": cfg.cosine_scale_1,
+            "Cosine scale 2": cfg.cosine_scale_2,
+            "Cosine scale 3": cfg.cosine_scale_3,
+            "Sigma": cfg.sigma,
+            "Random jitter": cfg.random_jitter,
+            "Mixture": cfg.mixture,
+            "Gaussian filter": cfg.gaussian_filter,
+            "Keep intermediate": cfg.keep_intermediate,
+            "Denoise strengths": list(cfg.denoise_strengths),
+            # pixel sizes of every produced phase (ref tileglobal.py:28-40)
+            "Phase sizes": [[int(l.shape[-2]) * 8, int(l.shape[-1]) * 8]
+                            for l in phases],
+        },
+    }
+    return GenerationResult(images, keep[-1], seed, info)

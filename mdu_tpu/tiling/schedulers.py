@@ -236,10 +236,13 @@ def make_tiled_denoiser(
     ``stateful=True`` (DeepCache feature caching): ``tile_denoise`` takes an
     extra per-batch ``cache`` arg and returns ``(out, cache)``; the built
     ``denoised_fn(x, sigma, step, aux)`` threads ``aux`` (a tuple of
-    per-batch caches) and returns ``(x_out, aux)``.  Regions and the org_fn
+    per-batch caches for the unrolled grid; one stacked per-chunk array for
+    the lax.scan grid — in that case ``tile_denoise`` must be the flat
+    stateful contract ``sharded_tile_denoise(flat, sigma, step, conds,
+    cache)``) and returns ``(x_out, aux)``.  Regions and the org_fn
     passthrough always run the full model — caching accelerates the
     background grid only (regions are the user-emphasized areas).  Mesh
-    sharding and the lax.scan grid are not combined with caching (v1).
+    sharding is not combined with caching.
     """
     is_mod = plan.method == Method.MIX_DIFF
     weights = jnp.asarray(plan.weights)
@@ -269,11 +272,10 @@ def make_tiled_denoiser(
         for i, r in enumerate(plan.regions) if r.blend_mode == BlendMode.FOREGROUND
     }
 
-    if stateful and (mesh is not None or plan.scan_tiles):
+    if stateful and mesh is not None:
         raise ValueError(
             "DeepCache caching is not supported together with mesh sharding "
-            "or the lax.scan tile grid (set tile_scan=False / drop the mesh, "
-            "or disable deepcache)")
+            "(drop the mesh or disable deepcache)")
 
     use_sharded = (mesh is not None and sharded_tile_denoise is not None
                    and plan.draw_background and len(plan.bboxes) > 0)
@@ -287,7 +289,7 @@ def make_tiled_denoiser(
     scan_grid = None
     if use_scan:
         scan_grid = _make_scan_grid(plan, sharded_tile_denoise, tile_conds_fn,
-                                    ptw_np)
+                                    ptw_np, stateful=stateful)
 
     def denoised_core(x: jnp.ndarray, sigma: jnp.ndarray, step: jnp.ndarray,
                       aux):
@@ -305,10 +307,14 @@ def make_tiled_denoiser(
                       and not stateful)
         new_caches = []
 
+        scan_cache = None
         if use_sharded:
             buf = sharded_grid(x, sigma, step)
         elif use_scan:
-            buf = scan_grid(x, sigma, step)
+            if stateful:
+                buf, scan_cache = scan_grid(x, sigma, step, aux)
+            else:
+                buf = scan_grid(x, sigma, step)
         elif plan.draw_background:
             tidx = 0
             all_out = [] if fused_grid else None
@@ -382,7 +388,9 @@ def make_tiled_denoiser(
 
         if feather_buf is not None:
             x_out = feather_blend(x_out, feather_buf, feather_msk, feather_cnt)
-        return x_out, (tuple(new_caches) if stateful else aux)
+        if not stateful:
+            return x_out, aux
+        return x_out, (scan_cache if use_scan else tuple(new_caches))
 
     if stateful:
         return denoised_core
@@ -394,7 +402,7 @@ def make_tiled_denoiser(
 
 
 def _make_scan_grid(plan: DiffusionTilePlan, tile_denoise_flat, tile_conds_fn,
-                    ptw_np: Optional[np.ndarray]):
+                    ptw_np: Optional[np.ndarray], stateful: bool = False):
     """Grid-tile fusion as a ``lax.scan`` over uniform tile chunks.
 
     The trace-time-unrolled batch loop above inlines one UNet graph per tile
@@ -413,6 +421,14 @@ def _make_scan_grid(plan: DiffusionTilePlan, tile_denoise_flat, tile_conds_fn,
     (tiling/conds.py::tile_cond_stacked).  Returns the accumulated canvas
     (MultiDiffusion: raw sums awaiting the weight divide; MoD:
     pre-normalized via the gaussian x 1/sum-weights maps).
+
+    ``stateful=True`` (DeepCache): ``tile_denoise_flat(flat, sigma, step,
+    conds, cache)`` returns ``(out, new_cache)``; the per-chunk feature
+    caches ride the scan as xs -> ys — every chunk is padded to exactly
+    ``tile_bs`` tiles, so the stacked cache is one uniform
+    ``[n_chunks, mult*tile_bs*B, C', h', w']`` array
+    (pipeline._deepcache_aux builds it) and ``grid_buf(x, sigma, step, aux)``
+    returns ``(buf, new_aux)``.
     """
     import jax
 
@@ -433,7 +449,7 @@ def _make_scan_grid(plan: DiffusionTilePlan, tile_denoise_flat, tile_conds_fn,
     offs_c = offs.reshape(n_chunks, bs, 2)
     wmaps_c = wmaps.reshape(n_chunks, bs, th, tw)
 
-    def grid_buf(x, sigma, step):
+    def grid_buf(x, sigma, step, aux=None):
         B, C = x.shape[0], x.shape[1]
         conds = tile_conds_fn(step) if tile_conds_fn is not None else None
 
@@ -446,7 +462,10 @@ def _make_scan_grid(plan: DiffusionTilePlan, tile_denoise_flat, tile_conds_fn,
         conds = jax.tree.map(pad_chunk, conds)
 
         def body(buf, inp):
-            o, wm, cc = inp         # [bs,2] i32, [bs,th,tw] f32, pytree [bs,B,...]
+            if stateful:
+                o, wm, cc, cache = inp
+            else:
+                o, wm, cc = inp     # [bs,2] i32, [bs,th,tw] f32, pytree [bs,B,...]
             tiles = jnp.stack([
                 jax.lax.dynamic_slice(x, (0, 0, o[k, 0], o[k, 1]),
                                       (B, C, th, tw))
@@ -454,7 +473,12 @@ def _make_scan_grid(plan: DiffusionTilePlan, tile_denoise_flat, tile_conds_fn,
             flat = tiles.reshape(bs * B, C, th, tw)
             cflat = jax.tree.map(
                 lambda l: l.reshape((bs * l.shape[1],) + l.shape[2:]), cc)
-            out = tile_denoise_flat(flat, sigma, step, cflat)
+            new_cache = None
+            if stateful:
+                out, new_cache = tile_denoise_flat(flat, sigma, step, cflat,
+                                                   cache)
+            else:
+                out = tile_denoise_flat(flat, sigma, step, cflat)
             out = out.reshape(bs, B, C, th, tw) * wm[:, None, None]
             out = out.astype(buf.dtype)
             # sequential accumulate: tiles inside one chunk may overlap
@@ -463,12 +487,13 @@ def _make_scan_grid(plan: DiffusionTilePlan, tile_denoise_flat, tile_conds_fn,
                     buf, (0, 0, o[k, 0], o[k, 1]), (B, C, th, tw))
                 buf = jax.lax.dynamic_update_slice(
                     buf, cur + out[k], (0, 0, o[k, 0], o[k, 1]))
-            return buf, None
+            return buf, new_cache
 
-        buf, _ = jax.lax.scan(
-            body, jnp.zeros_like(x),
-            (jnp.asarray(offs_c), jnp.asarray(wmaps_c), conds))
-        return buf
+        xs = (jnp.asarray(offs_c), jnp.asarray(wmaps_c), conds)
+        if stateful:
+            xs = xs + (aux,)
+        buf, new_aux = jax.lax.scan(body, jnp.zeros_like(x), xs)
+        return (buf, new_aux) if stateful else buf
 
     return grid_buf
 

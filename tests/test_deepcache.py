@@ -152,10 +152,40 @@ def test_deepcache_img2img_mask(pipe, rng):
     assert np.isfinite(np.asarray(res.latents)).all()
 
 
-def test_deepcache_scan_grid_rejected(pipe):
-    """The lax.scan tile grid cannot thread caches (v1) — clear error."""
-    td = dataclasses.replace(TD, tile_scan=True)
-    sp = SamplerConfig(steps=2, deepcache=2)
+def test_deepcache_scan_grid_parity(pipe):
+    """DeepCache through the lax.scan tile grid (the 8K path: scan
+    auto-engages at >=8 tile batches): per-chunk caches ride the scan as
+    xs->ys and the result matches the trace-time-unrolled stateful grid.
+    512x256 px -> 64x32 latent, 16x16 tiles, overlap 8 => 21 tiles = 11
+    chunks of tile_bs=2."""
+    sp = SamplerConfig(steps=4, deepcache=2)
+    unrolled = pipe.txt2img(_cond(0), _cond(1), 512, 256, sp, seed=1,
+                            tiled_diffusion=dataclasses.replace(TD, tile_scan=False),
+                            decode=False)
+    scanned = pipe.txt2img(_cond(0), _cond(1), 512, 256, sp, seed=1,
+                           tiled_diffusion=dataclasses.replace(TD, tile_scan=True),
+                           decode=False)
+    assert np.isfinite(np.asarray(scanned.latents)).all()
+    np.testing.assert_allclose(np.asarray(scanned.latents),
+                               np.asarray(unrolled.latents),
+                               rtol=1e-5, atol=1e-5)
+    # the cached branch is actually taken: deepcache=2 differs from exact
+    exact = pipe.txt2img(_cond(0), _cond(1), 512, 256,
+                         dataclasses.replace(sp, deepcache=1), seed=1,
+                         tiled_diffusion=dataclasses.replace(TD, tile_scan=True),
+                         decode=False)
+    assert not np.allclose(np.asarray(scanned.latents), np.asarray(exact.latents))
+
+
+def test_deepcache_mesh_rejected(pipe):
+    """Mesh sharding + DeepCache stays a clear error."""
+    from mdu_tpu.tiling.schedulers import make_tiled_denoiser, plan_tiled_diffusion
+    from mdu_tpu.parallel import make_tile_mesh
+
+    plan = plan_tiled_diffusion(Method.MULTI_DIFF, 32, 64, tile_h=16,
+                                tile_w=16, overlap=8, tile_bs=2)
+    mesh = make_tile_mesh(2)
     with pytest.raises(ValueError, match="DeepCache"):
-        pipe.txt2img(_cond(0), _cond(1), 512, 256, sp, seed=1,
-                     tiled_diffusion=td, decode=False)
+        make_tiled_denoiser(plan, lambda *a: a[0], mesh=mesh,
+                            sharded_tile_denoise=lambda *a: a[0],
+                            tile_conds_fn=lambda s: None, stateful=True)

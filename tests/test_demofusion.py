@@ -236,3 +236,29 @@ def test_demofusion_sdxl_conds():
                           seed=3, decode=False)
     assert res.latents.shape == (1, 4, 32, 32)
     assert np.isfinite(np.asarray(res.latents)).all()
+
+
+def test_demofusion_metadata_roundtrip():
+    """A DemoFusion run must be reproducible from its own PNG metadata
+    (ref tileglobal.py:28-40 phase sizes, :172-191 infotext rewriting):
+    config.demofusion_from_png_info inverts GenerationResult.info."""
+    import json
+
+    from mdu_tpu.config import demofusion_from_png_info
+
+    pipe = _pipe()
+    cond = {"crossattn": jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16)) * 0.1}
+    cfg = dataclasses.replace(CFG, scale_factor=2, mixture=True,
+                              cosine_scale_1=2.5, sigma=0.7,
+                              denoise_strengths=(0.5,))
+    sp = SamplerConfig(name="Euler", steps=2, cfg_scale=6.5,
+                       denoising_strength=0.5)
+    res = pipe.demofusion(cond, None, 128, 128, cfg, sp, seed=5, decode=False)
+    # survive a JSON round-trip like the PNG text chunk does
+    info = json.loads(json.dumps(res.info))
+    cfg2, sp2 = demofusion_from_png_info(info)
+    assert cfg2 == dataclasses.replace(cfg, enabled=True)
+    assert (sp2.name, sp2.steps, sp2.cfg_scale) == ("Euler", 2, 6.5)
+    # every produced phase records its pixel size (base 128 + phase-2 256)
+    assert info["DemoFusion"]["Phase sizes"] == [[128, 128], [256, 256]]
+    assert info["Seed"] == 5
