@@ -201,30 +201,44 @@ def bench_vae(pipe):
 
 
 def bench_panorama(pipe, cond, uncond):
-    """Config 2 (PRIMARY): MultiDiffusion txt2img 2048x512, 20 steps."""
+    """Config 2 (PRIMARY): MultiDiffusion txt2img 2048x512, 20 steps.
+
+    Headline runs with DeepCache interval 2 (the round-4 on-chip A/B
+    winner: 24.65 vs 19.94 img/min at 1.2% mean pixel drift — docs/
+    TUNING.md); the exact no-cache number is always measured too and
+    recorded as ``config2_exact_img_per_min``.  MDU_BENCH_DEEPCACHE
+    overrides the headline interval (1 = exact headline)."""
     from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
 
     td = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=96, tile_h=96,
                               overlap=48, tile_bs=8)
     tv = TiledVAEConfig(decoder_tile_size=64, fast_decoder=False, fast_encoder=False)
-    sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
-                       deepcache=_bench_deepcache())
 
-    def run(seed):
-        return pipe.txt2img(cond, uncond, width=2048, height=512, sampler=sp,
-                            seed=seed, tiled_diffusion=td, tiled_vae=tv)
+    def measure(deepcache, n=3):
+        sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
+                           deepcache=deepcache)
 
-    t0 = time.time()
-    res = retry(lambda: run(0), "panorama compile")
-    log(f"first image (incl. compile): {time.time()-t0:.1f}s, out {res.images.shape}")
+        def run(seed):
+            return pipe.txt2img(cond, uncond, width=2048, height=512,
+                                sampler=sp, seed=seed, tiled_diffusion=td,
+                                tiled_vae=tv)
 
-    n = 3
-    t0 = time.time()
-    for i in range(1, n + 1):
-        res = run(i)
-    dt = (time.time() - t0) / n
-    img_per_min = 60.0 / dt
-    log(f"config 2 steady-state: {dt:.2f}s/image = {img_per_min:.2f} img/min")
+        t0 = time.time()
+        res = retry(lambda: run(0), f"panorama compile (deepcache={deepcache})")
+        log(f"first image deepcache={deepcache} (incl. compile): "
+            f"{time.time()-t0:.1f}s, out {res.images.shape}")
+        t0 = time.time()
+        for i in range(1, n + 1):
+            run(i)
+        return 60.0 / ((time.time() - t0) / n)
+
+    exact = measure(1)
+    RESULT["secondary"]["config2_exact_img_per_min"] = round(exact, 3)
+    log(f"config 2 exact steady-state: {exact:.2f} img/min")
+    dc = _bench_deepcache()
+    img_per_min = exact if dc == 1 else measure(dc)
+    log(f"config 2 headline (deepcache={dc}): {img_per_min:.2f} img/min")
+    RESULT["secondary"]["config2_deepcache_interval"] = dc
     RESULT["value"] = round(img_per_min, 3)
     RESULT["vs_baseline"] = round(img_per_min / BASELINE_IMG_PER_MIN, 3)
 
@@ -411,8 +425,11 @@ def bench_8k_upscale(pipe, cond, uncond):
 
 
 def _bench_deepcache() -> int:
-    """DeepCache interval for the diffusion phases (A/B knob; 1 = off)."""
-    return int(os.environ.get("MDU_BENCH_DEEPCACHE", "1"))
+    """DeepCache interval for the diffusion phases (1 = off).  Default 2:
+    round-4 on-chip A/B (scripts/ab_bench.py --deepcache) measured 24.65 vs
+    19.94 img/min on config 2 at 1.2% mean pixel drift; interval 3 gained
+    little more (26.72) for 1.8% drift."""
+    return int(os.environ.get("MDU_BENCH_DEEPCACHE", "2"))
 
 
 def bench_regional(pipe, cond, uncond):

@@ -83,6 +83,13 @@ def _add_common(p: argparse.ArgumentParser):
                    help="fast-encoder color fix (ref tilevae.py:693: "
                         "re-estimate stats per tile, keep only the DC shift)")
     p.add_argument("--no-tiled-vae", action="store_true")
+    p.add_argument("--vae-streaming", action="store_true",
+                   help="fixed-HBM exact tiled VAE: host-resident tiles, "
+                        "jitted segments (the 8K path)")
+    p.add_argument("--vae-spill-dtype", default=None,
+                   help="compress stream-host inter-segment spills, e.g. "
+                        "float8_e4m3fn (halves host<->device traffic; "
+                        "slightly lossy)")
     # region prompt control
     p.add_argument("--regions", help="region-config JSON file "
                    "(ref region_configs/ format), or a generated .png to "
@@ -204,7 +211,9 @@ def _configs(args):
                             decoder_tile_size=args.vae_decoder_tile,
                             fast_decoder=args.fast_decoder,
                             fast_encoder=args.fast_encoder,
-                            color_fix=getattr(args, "color_fix", False))
+                            color_fix=getattr(args, "color_fix", False),
+                            streaming=getattr(args, "vae_streaming", False),
+                            spill_dtype=getattr(args, "vae_spill_dtype", None))
     sp = SamplerConfig(name=args.sampler, steps=args.steps, cfg_scale=args.cfg_scale,
                        schedule=args.schedule,
                        denoising_strength=getattr(args, "denoising_strength", 0.75),
@@ -373,17 +382,9 @@ def cmd_img2img(args):
     _graceful_interrupt(pipe)
     _apply_prompt_networks(pipe, args, regions)
     img = np.asarray(Image.open(args.init).convert("RGB"))
-    if getattr(args, "image_cfg_scale", None) is not None:
-        # edit-model (instruct-pix2pix) image conditioning: the UN-noised
-        # init-image latent rides as the 'concat' leaf on cond AND uncond —
-        # the 3-way guidance zeroes it on the du leg itself
-        # (ref abstractdiffusion.py:278-310; pipeline._make_guided)
-        from .utils.image import image_to_tensor
-
-        moments = pipe._encode(image_to_tensor(img), tv)
-        ilat = moments[:, : moments.shape[1] // 2]        # distribution mode
-        cond = {**cond, "concat": ilat}
-        uncond = {**uncond, "concat": ilat}
+    # --image-cfg-scale: pipeline.img2img attaches the post-upscale init
+    # latent mode as the 'concat' leaf itself (its canvas must match the
+    # generation latent, which the CLI cannot know before the upscaler runs)
     mask = None
     if getattr(args, "mask", None):
         mask = np.asarray(Image.open(args.mask).convert("L")).astype(np.float32) / 255.0

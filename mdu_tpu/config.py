@@ -86,6 +86,9 @@ class TiledVAEConfig:
     # fixed-HBM exact mode: tiles stay host-resident, segments stream through
     # the chip (the 8K path; see tiling/streaming_vae.py)
     streaming: bool = False
+    # compress stream-host inter-segment spills (e.g. 'float8_e4m3fn'):
+    # halves host<->device traffic per segment; slightly lossy.  None = off.
+    spill_dtype: Optional[str] = None
 
 
 @dataclass

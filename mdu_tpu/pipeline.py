@@ -801,6 +801,31 @@ class DiffusionPipeline:
             init_latent = sample_from_moments(moments, jax.random.fold_in(key, 3))
             init_latent = init_latent * self.vae.cfg.scaling_factor
 
+            if sp.image_cfg_scale is not None:
+                # edit-model (instruct-pix2pix) image conditioning: the
+                # distribution MODE of the post-upscale init image (no
+                # scaling_factor, no noise — diffusers ip2p convention; ref
+                # abstractdiffusion.py:278-310) rides as the 'concat' leaf
+                # on cond AND uncond so its canvas matches the generation
+                # latent.  Callers that pre-attached their own 'concat'
+                # (explicit edit workflows) are left untouched.
+                icond = moments[:, : moments.shape[1] // 2]
+                if self.unet.cfg.in_channels < (init_latent.shape[1]
+                                                + icond.shape[1]):
+                    raise ValueError(
+                        "image_cfg_scale needs an edit-model (instruct-"
+                        "pix2pix) UNet that accepts the image 'concat' "
+                        f"channels: in_channels="
+                        f"{self.unet.cfg.in_channels} < "
+                        f"{init_latent.shape[1]} latent + "
+                        f"{icond.shape[1]} image channels")
+                if isinstance(cond, dict) and cond.get("concat") is None \
+                        and "__and__" not in cond:
+                    cond = {**cond, "concat": icond}
+                if isinstance(uncond, dict) and uncond.get("concat") is None \
+                        and "__and__" not in uncond:
+                    uncond = {**uncond, "concat": icond}
+
         plan = self._plan(td, h, w)
         cond = quantize_control_hints(cond)
         uncond = quantize_control_hints(uncond)
@@ -1120,7 +1145,8 @@ class DiffusionPipeline:
 
         ts = tv.encoder_tile_size if which == "encoder" else tv.decoder_tile_size
         return streaming_tiled_vae(self.vae, self.vae_params, arr, which, ts,
-                                   tv.tile_batch, host_resident=host_resident)
+                                   tv.tile_batch, host_resident=host_resident,
+                                   spill_dtype=tv.spill_dtype)
 
     def _decode_tensor(self, latents: jnp.ndarray,
                        tv: Optional[TiledVAEConfig]) -> jnp.ndarray:

@@ -222,6 +222,7 @@ def streaming_tiled_vae(
     tile_size: int = 96,
     group_size: int = 4,
     host_resident: bool = True,
+    spill_dtype: Optional[str] = None,
 ) -> Optional[jnp.ndarray]:
     """Exact tiled decode/encode with bounded live activations.
 
@@ -232,6 +233,15 @@ def streaming_tiled_vae(
     one-layer-of-all-tiles + one group's activations.  Covers the 4-6K
     range where all-layers lockstep would OOM but one layer still fits —
     no host traffic at all.
+
+    ``spill_dtype`` (or env ``MDU_SPILL_DTYPE``), e.g. ``float8_e4m3fn`` —
+    compress the host-resident inter-segment spills: activations are cast
+    on-device before readback and widened after upload, halving the
+    per-segment host<->device traffic vs bf16 (the PCIe/relay-bandwidth
+    lever, docs/TUNING.md 8K-envelope notes).  Slightly lossy (the next
+    GroupNorm's pooled stats are computed pre-compression and renormalize
+    most of the quantization error); the final segment's output and the
+    exact pooled statistics always stay uncompressed.
 
     Returns None when the input is small enough to bypass tiling (caller
     should use the direct path).
@@ -294,18 +304,31 @@ def streaming_tiled_vae(
         jm = jnp.asarray(masks)
         gmasks = [jm[g * rows:(g + 1) * rows] for g in range(n_groups)]
 
+    import os
+
+    sd = os.environ.get("MDU_SPILL_DTYPE") or spill_dtype
+    spill = jnp.dtype(sd) if (sd and host_resident) else None
+
     stats = None
     for si in range(len(spans)):
         parts = []
+        last_seg = si == len(spans) - 1
         st_in = (None if stats is None else
                  (jnp.asarray(np.tile(stats[0], (group_size, 1))),
                   jnp.asarray(np.tile(stats[1], (group_size, 1)))))
 
         def launch(g):
             r_in = (jnp.zeros((1,), x.dtype) if res[g] is None
-                    else jnp.asarray(res[g]))
-            return seg_fns[si](jnp.asarray(cur[g]), r_in,
+                    else jnp.asarray(res[g]).astype(x.dtype))
+            return seg_fns[si](jnp.asarray(cur[g]).astype(x.dtype), r_in,
                                jnp.asarray(gmasks[g]), st_in)
+
+        def spill_host(a):
+            # compressed spill: cast on-device (VPU) so the host transfer
+            # moves 1 byte/elt; the result segment stays full precision
+            if spill is not None and not last_seg:
+                a = a.astype(spill)
+            return np.asarray(a)
 
         if host_resident and prefetch:
             # window-of-1 prefetch: group g+1's device work is enqueued
@@ -316,8 +339,8 @@ def streaming_tiled_vae(
             for g in range(n_groups):
                 nxt = launch(g + 1) if g + 1 < n_groups else None
                 xg, rg, pg = pending
-                cur[g] = np.asarray(xg)
-                res[g] = np.asarray(rg)
+                cur[g] = spill_host(xg)
+                res[g] = spill_host(rg)
                 if pg is not None:
                     parts.append(pg)
                 pending = nxt
@@ -325,8 +348,8 @@ def streaming_tiled_vae(
             # budget too tight for double-buffering: fully serialize
             for g in range(n_groups):
                 xg, rg, pg = launch(g)
-                cur[g] = np.asarray(xg)
-                res[g] = np.asarray(rg)
+                cur[g] = spill_host(xg)
+                res[g] = spill_host(rg)
                 if pg is not None:
                     parts.append(pg)
         else:

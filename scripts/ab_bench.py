@@ -99,11 +99,35 @@ def bench_flash_t():
                 print(f"[{B},{H},{L},{D}] {name} bq={bq} bk={bk}: {ms:6.2f} ms "
                       f"({fl/ms/1e9:.0f} useful TFLOP/s)", flush=True)
 
-    # cross-attention: long queries, 77 kv tokens (sdpa materializes the
-    # [B,H,L,77] fp32 score tensor in HBM; flash keeps it in VMEM)
-    from mdu_tpu.ops.attention import sdpa
+    bench_xattn()
 
-    for (H, L, D) in ((8, 6144, 40), (8, 1536, 80)):
+
+def bench_xattn():
+    """Cross-attention A/B: long queries, 77 kv tokens (sdpa materializes
+    the [B,H,L,77] fp32 score tensor in HBM; flash keeps it in VMEM).
+    Round-2 verdict was sdpa; fm's cheaper softmax may flip it (ROADMAP
+    round-4 item 3)."""
+    from mdu_tpu.ops.attention import sdpa
+    from mdu_tpu.ops.pallas import (flash_attention, flash_attention_t,
+                                    flash_attention_t_fm)
+
+    dt = jnp.bfloat16
+    B = 16
+
+    def chain(f, x, n=10):
+        def body(c, _):
+            return f(c), None
+
+        g = jax.jit(lambda x: jax.lax.scan(body, x, None, length=n)[0].sum())
+        np.asarray(g(x))
+        t0 = time.time()
+        np.asarray(g(x))
+        return (time.time() - t0) / n * 1e3
+
+    # SD1.5 cross-attn level shapes at tile_bs=8 x CFG2 (B.H rows of the
+    # panorama program) plus SDXL's 2048-dim context heads
+    for (H, L, D) in ((8, 9216, 40), (8, 6144, 40), (8, 2304, 80),
+                      (8, 576, 160), (8, 1536, 80)):
         q = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D), dt)
         kv = jax.random.normal(jax.random.PRNGKey(2), (B, H, 77, D), dt)
         for name, fn in (("sdpa ", lambda a, b, c: sdpa(a, b, c)),
@@ -153,6 +177,61 @@ def bench_pipeline(flags):
     return dtm
 
 
+def bench_deepcache():
+    """DeepCache interval A/B on the EXACT config-2 bench workload (txt2img
+    2048x512 incl. tiled-VAE decode), one pipeline, one param build: the jit
+    cache keys on SamplerConfig.deepcache so each N compiles its own
+    executable (VERDICT r3 item 2)."""
+    from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
+    from mdu_tpu.models import (AutoencoderKL, UNet2DCondition, VAEConfig,
+                                random_params, sd15_unet_config)
+    from mdu_tpu.models.unet import default_unet_layout
+    from mdu_tpu.pipeline import DiffusionPipeline
+
+    dt = jnp.bfloat16
+    unet = UNet2DCondition(sd15_unet_config(), dtype=dt,
+                           layout=default_unet_layout())
+    vae = AutoencoderKL(VAEConfig(), dtype=dt)
+    up = jax.tree.map(lambda a: a.astype(dt),
+                      random_params(unet, 0, jnp.zeros((1, 4, 8, 8)),
+                                    jnp.zeros((1,)), jnp.zeros((1, 77, 768))))
+    vp = jax.tree.map(lambda a: a.astype(dt),
+                      random_params(vae, 1, jnp.zeros((1, 3, 64, 64)),
+                                    jax.random.PRNGKey(0)))
+    pipe = DiffusionPipeline(unet, up, vae, vp)
+    cond = {"crossattn": jax.random.normal(jax.random.PRNGKey(2), (1, 77, 768), dt) * 0.1}
+    unc = {"crossattn": jax.random.normal(jax.random.PRNGKey(3), (1, 77, 768), dt) * 0.1}
+    td = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=96, tile_h=96,
+                              overlap=48, tile_bs=8)
+    tv = TiledVAEConfig(decoder_tile_size=64, fast_decoder=False,
+                        fast_encoder=False)
+    ref_img = None
+    for n in (1, 2, 3):
+        sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0, deepcache=n)
+
+        def run(seed, sp=sp):
+            return pipe.txt2img(cond, unc, width=2048, height=512, sampler=sp,
+                                seed=seed, tiled_diffusion=td, tiled_vae=tv)
+
+        t0 = time.time()
+        r = run(0)
+        print(f"deepcache={n} first (incl. compile): {time.time()-t0:.1f}s",
+              flush=True)
+        reps = 3
+        t0 = time.time()
+        for i in range(1, reps + 1):
+            r = run(i)                 # txt2img returns a synced np image
+        dtm = (time.time() - t0) / reps
+        img0 = np.asarray(run(0).images, np.float32) / 255.0
+        if n == 1:
+            ref_img = img0
+            drift = 0.0
+        else:
+            drift = float(np.abs(img0 - ref_img).mean())
+        print(f"deepcache={n}: {dtm:.2f}s/image = {60/dtm:.2f} img/min "
+              f"(mean |d| vs exact {drift:.4f}, images in [0,1])", flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernels", action="store_true")
@@ -161,8 +240,14 @@ if __name__ == "__main__":
     ap.add_argument("--nhwc", action="store_true")
     ap.add_argument("--flash-fm", action="store_true")
     ap.add_argument("--conv-mm", action="store_true")
+    ap.add_argument("--xattn", action="store_true")
+    ap.add_argument("--deepcache", action="store_true")
     args = ap.parse_args()
-    if args.flash_t:
+    if args.deepcache:
+        bench_deepcache()
+    elif args.xattn:
+        bench_xattn()
+    elif args.flash_t:
         bench_flash_t()
     elif args.kernels:
         bench_kernels()

@@ -97,7 +97,8 @@ def build_tiny_ldm_state(ucfg, vcfg, ccfg):
     unet = UNet2DCondition(ucfg)
     vae = AutoencoderKL(vcfg)
     clip = CLIPTextModel(ccfg)
-    up = random_params(unet, 0, jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
+    up = random_params(unet, 0, jnp.zeros((1, ucfg.in_channels, 16, 16)),
+                       jnp.zeros((1,)),
                        jnp.zeros((1, 7, ucfg.cross_attention_dim)))
     vp = random_params(vae, 1, jnp.zeros((1, 3, 64, 64)), jax.random.PRNGKey(0))
     cp = random_params(clip, 2, jnp.zeros((1, ccfg.max_length), jnp.int32))

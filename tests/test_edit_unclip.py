@@ -100,6 +100,25 @@ def test_image_cfg_deepcache(edit_pipe):
     assert np.isfinite(np.asarray(res.latents)).all()
 
 
+def test_image_cfg_img2img_auto_concat(edit_pipe):
+    """img2img with image_cfg_scale and NO explicit 'concat' attaches the
+    post-upscale init-latent mode itself — the canvas must match the
+    generation latent, not the raw init image (round-4 CLI e2e regression:
+    the CLI used to encode the pre-upscale init and trip the edit-leg
+    shape check)."""
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 128, 3)) * 255).astype(np.uint8)
+    c = {"crossattn": jax.random.normal(jax.random.PRNGKey(0), (1, 7, 16)) * 0.1}
+    u = {"crossattn": jax.random.normal(jax.random.PRNGKey(1), (1, 7, 16)) * 0.1}
+    sp = SamplerConfig(steps=2, image_cfg_scale=1.5, denoising_strength=0.6)
+    td = dataclasses.replace(TD, upscaler="Lanczos", scale_factor=2.0)
+    res = edit_pipe.img2img(img, c, u, sp, seed=3, tiled_diffusion=td,
+                            decode=False)
+    # 64x128 init x2 -> 128x256 -> latent 16x32
+    assert res.latents.shape[-2:] == (16, 32)
+    assert np.isfinite(np.asarray(res.latents)).all()
+
+
 def test_image_cfg_requires_concat(edit_pipe):
     c, u = _edit_conds(16, 16)
     u_bad = {"crossattn": u["crossattn"]}
