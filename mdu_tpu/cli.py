@@ -389,9 +389,15 @@ def cmd_img2img(args):
     if getattr(args, "mask", None):
         mask = np.asarray(Image.open(args.mask).convert("L")).astype(np.float32) / 255.0
     seed = _seed(args)
+    tgt = None
+    if args.width is not None or args.height is not None:
+        if args.width is None or args.height is None:
+            raise SystemExit("img2img: give both -W and -H (or neither)")
+        tgt = (args.height, args.width)
     with perfcount("Tiled Diffusion"):
         res = pipe.img2img(img, cond, uncond, sp, seed, tiled_diffusion=td,
-                           tiled_vae=tv, region_conds=rc, mask=mask)
+                           tiled_vae=tv, region_conds=rc, mask=mask,
+                           target_size=tgt)
     _save(res.images, args.out, _with_prompt(args, res.info))
 
 
@@ -495,6 +501,12 @@ def main(argv: Optional[List[str]] = None):
     i.add_argument("--noise-inverse-retouch", type=float, default=1.0)
     i.add_argument("--noise-inverse-renoise-strength", type=float, default=1.0)
     i.add_argument("--noise-inverse-renoise-kernel", type=int, default=64)
+    i.add_argument("-W", "--width", type=int, default=None,
+                   help="final canvas width: resize the (upscaled) init to "
+                        "exactly this before generation — the reference's "
+                        "keep-input-size=off path (tilediffusion.py:299-307); "
+                        "default keeps the upscaled size (checkbox default)")
+    i.add_argument("-H", "--height", type=int, default=None)
     i.set_defaults(fn=cmd_img2img)
 
     d = sub.add_parser("demofusion", help="DemoFusion progressive upscaling")

@@ -261,9 +261,19 @@ class Upsample2D(nn.Module):
     layout: str = "NCHW"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_size=None):
         sp = (1, 2) if self.layout == "NHWC" else (2, 3)
-        x = jnp.repeat(jnp.repeat(x, 2, axis=sp[0]), 2, axis=sp[1])
+        if out_size is not None and \
+                tuple(out_size) != (2 * x.shape[sp[0]], 2 * x.shape[sp[1]]):
+            # latents not divisible by 2^levels: nearest-resize straight to
+            # the skip's spatial size, as diffusers' Upsample2D does with its
+            # forwarded ``upsample_size`` (the torch stack the reference runs
+            # on handles e.g. a 12-row latent this way)
+            shape = list(x.shape)
+            shape[sp[0]], shape[sp[1]] = int(out_size[0]), int(out_size[1])
+            x = jax.image.resize(x, shape, method="nearest")
+        else:
+            x = jnp.repeat(jnp.repeat(x, 2, axis=sp[0]), 2, axis=sp[1])
         return Conv2D(self.channels, dtype=self.dtype, layout=self.layout,
                       name="conv")(x)
 
@@ -398,8 +408,14 @@ class UNet2DCondition(nn.Module):
                                       dtype=self.dtype, layout=self.layout,
                                       name=f"up_{i}_attn_{j}")(h, context)
             if i != L - 1:
+                # snap to the next skip's spatial size (diffusers forwards
+                # ``upsample_size`` the same way) so non-2^L-divisible
+                # latents round-trip the U
+                nsp = (1, 2) if ch_axis == 3 else (2, 3)
+                nxt = skips[-1]
                 h = Upsample2D(ch, dtype=self.dtype, layout=self.layout,
-                               name=f"up_{i}_upsample")(h)
+                               name=f"up_{i}_upsample")(
+                    h, (nxt.shape[nsp[0]], nxt.shape[nsp[1]]))
                 if cache_mode == "write" and i == L - cache_branch - 1:
                     feature = h
 

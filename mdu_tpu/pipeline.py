@@ -766,6 +766,7 @@ class DiffusionPipeline:
         init_latents: Optional[jnp.ndarray] = None,
         decode: bool = True,
         step_callback=None,
+        target_size: Optional[Tuple[int, int]] = None,
     ) -> GenerationResult:
         sp = self._resolve_sampler(sampler)
         td = tiled_diffusion
@@ -792,6 +793,17 @@ class DiffusionPipeline:
             x_img = image_to_tensor(image) if isinstance(image, np.ndarray) else image
             if td is not None and td.upscaler and td.upscaler != "None":
                 x_img = get_upscaler(td.upscaler)(x_img, td.scale_factor)
+            if target_size is not None:
+                # explicit canvas override — the reference's
+                # keep_input_size=False path resizes the (upscaled) init to
+                # scale_factor x the original request instead of keeping the
+                # upscaler's output size (ref tilediffusion.py:299-304 plus
+                # A1111's init resize); default (None) keeps the input size,
+                # the reference's default checkbox state (ref :112)
+                th, tw = int(target_size[0]), int(target_size[1])
+                if (x_img.shape[-2], x_img.shape[-1]) != (th, tw):
+                    from .ops.resize import resize_nchw
+                    x_img = resize_nchw(x_img, (th, tw), "lanczos")
 
             H, W = x_img.shape[-2], x_img.shape[-1]
             h, w = H // 8, W // 8
@@ -938,6 +950,10 @@ class DiffusionPipeline:
               None if latent_mask is None else (init_latent, latent_mask))
         images = self._decode(latents, tiled_vae) if decode else None
         info = self._info(sp, td, seed, region_seeds)
+        if target_size is not None:
+            # ref records 'Keep input size' when keeping (tilediffusion.py:336);
+            # we keep by default, so record only the override
+            info["Target size"] = [int(target_size[0]), int(target_size[1])]
         return GenerationResult(images, latents, seed, info)
 
     # ------------------------------------------------------- noise inversion

@@ -48,16 +48,20 @@ def test_unet_shapes(keys):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_unet_odd_spatial(keys):
-    """Tile sizes not divisible by 8 must still round-trip (down+up path)."""
+@pytest.mark.parametrize("hw", [(16, 24), (12, 20), (11, 13)])
+def test_unet_odd_spatial(keys, hw):
+    """Latents not divisible by 2^levels must still round-trip the U: the
+    up path nearest-resizes to each skip's spatial size, as diffusers'
+    forwarded ``upsample_size`` does on the reference's torch stack."""
     cfg = tiny_unet_config()
     unet = UNet2DCondition(cfg)
-    x = jax.random.normal(keys[0], (1, 4, 16, 24), jnp.float32)
+    x = jax.random.normal(keys[0], (1, 4) + hw, jnp.float32)
     t = jnp.array([3.0])
     ctx = jax.random.normal(keys[1], (1, 7, cfg.cross_attention_dim), jnp.float32)
     params = random_params(unet, 0, x, t, ctx)
     out = jax.jit(unet.apply)(params, x, t, ctx)
     assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_sdxl_unet_added_cond(keys):

@@ -100,6 +100,18 @@ def test_img2img_upscale(pipe, rng):
     assert res.images.shape == (1, 128, 128, 3)
 
 
+def test_img2img_target_size(pipe, rng):
+    """keep-input-size=off parity: the upscaled init is resized to the explicit
+    canvas (ref tilediffusion.py:299-307) and the override is recorded."""
+    img = (rng.uniform(0, 255, size=(64, 64, 3))).astype(np.uint8)
+    td = dataclasses.replace(TD, upscaler="Lanczos", scale_factor=2.0, overlap=8)
+    res = pipe.img2img(img, _cond(0), _cond(1), sampler=SAMPLER, seed=9,
+                       tiled_diffusion=td, tiled_vae=TV,
+                       target_size=(96, 160))
+    assert res.images.shape == (1, 96, 160, 3)
+    assert res.info["Target size"] == [96, 160]
+
+
 def test_img2img_noise_inversion_and_cache(pipe, rng):
     img = (rng.uniform(0, 255, size=(64, 64, 3))).astype(np.uint8)
     td = dataclasses.replace(
