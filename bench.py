@@ -500,8 +500,14 @@ def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
             "control": [jnp.zeros((1, 3, 1024, 1024), dtype)]}
     uncond = dict(cond, crossattn=jnp.zeros((1, 77, 2048), dtype))
     del hint
+    # tile_bs=2 (not 4): at 3072^2 the scale-3 program OOMs a 16 GiB chip
+    # with batch-8 (4 windows x CFG) SDXL skip stacks beside 7.8 GB of
+    # UNet+ControlNet params; batch-4 halves that peak.  BASELINE.md pins
+    # the workload (SDXL DemoFusion x3 + ControlNet @ 3072^2), not the
+    # batch.  Override: MDU_BENCH_C5_TILE_BS.
+    c5bs = int(os.environ.get("MDU_BENCH_C5_TILE_BS", "2"))
     cfg = DemoFusionConfig(window_size=128, overlap=64, scale_factor=3,
-                           tile_bs=4, tile_bs_g=4)
+                           tile_bs=c5bs, tile_bs_g=c5bs)
     tv = TiledVAEConfig(decoder_tile_size=96, fast_decoder=False, fast_encoder=False)
     sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
                        denoising_strength=0.45)
