@@ -508,6 +508,11 @@ def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
     c5bs = int(os.environ.get("MDU_BENCH_C5_TILE_BS", "2"))
     cfg = DemoFusionConfig(window_size=128, overlap=64, scale_factor=3,
                            tile_bs=c5bs, tile_bs_g=c5bs)
+    # folded GroupNorm for this phase only: the unrolled scale-3 program
+    # compile-OOMs (17.38G vs 15.75G HBM) with 15 co-live 85 MB f32
+    # GroupNorm temps; MDU_GN=fold removes them (groupnorm.py).  Scoped so
+    # the other phases keep their cached HLO.
+    os.environ.setdefault("MDU_GN", "fold")
     tv = TiledVAEConfig(decoder_tile_size=96, fast_decoder=False, fast_encoder=False)
     sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
                        denoising_strength=0.45)

@@ -120,6 +120,31 @@ def group_norm(
     return apply_group_norm(x, num_groups, mean, var, weight, bias, eps)
 
 
+def group_norm_fold(
+    x: jnp.ndarray,
+    num_groups: int,
+    weight: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """group_norm without materializing an f32 copy of the activation.
+
+    The plain path upcasts x to f32 once and feeds BOTH the stats reduction
+    and the normalize, so XLA materializes the shared f32 subexpression as
+    an HLO temp (the v5e compile-OOM dump of DemoFusion's unrolled scale-3
+    program showed 15 co-live 85 MB f32 ``norm2/convert_element_type``
+    buffers).  Folding the stats into per-(batch, channel) (a, b) keeps
+    every f32 value per-element inside fusions: one moment-pass read of
+    bf16 x, one normalize-pass read, no full-size f32 temp.  ~2x the
+    activation-memory efficiency per GroupNorm at identical math
+    (summation order differs; f32-rounding-level drift only).
+    Dispatch: MDU_GN=fold (see docs/TUNING.md).
+    """
+    a_c, b_c = group_norm_affine(x, num_groups, weight, bias, eps)
+    return (x.astype(jnp.float32) * a_c[:, :, None, None]
+            + b_c[:, :, None, None]).astype(x.dtype)
+
+
 def group_norm_affine(
     x: jnp.ndarray,
     num_groups: int,

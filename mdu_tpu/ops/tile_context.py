@@ -66,8 +66,15 @@ def tile_group_norm(
         import os
 
         # MDU_GN=chanreduce: per-channel-moment formulation (A/B, TUNING.md)
-        if os.environ.get("MDU_GN") == "chanreduce":
+        # MDU_GN=fold: no f32 activation temp (compile-OOM fix for huge
+        # unrolled programs; groupnorm.py::group_norm_fold)
+        gn_mode = os.environ.get("MDU_GN")
+        if gn_mode == "chanreduce":
             return group_norm_chanreduce(x, num_groups, weight, bias, eps)
+        if gn_mode == "fold":
+            from .groupnorm import group_norm_fold
+
+            return group_norm_fold(x, num_groups, weight, bias, eps)
         return group_norm(x, num_groups, weight, bias, eps)
 
     TB, C, h, w = x.shape

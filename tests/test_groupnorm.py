@@ -106,3 +106,21 @@ def test_reference_pooling_close_but_biased(rng):
     np.testing.assert_allclose(np.asarray(mean_ref), np.asarray(mean_ex), rtol=1e-5)
     # ref var <= exact var (misses the between-tile mean spread term)
     assert (np.asarray(var_ref) <= np.asarray(var_ex) + 1e-6).all()
+
+
+def test_group_norm_fold_matches_plain(rng):
+    """MDU_GN=fold (no f32 activation temp — the DemoFusion scale-3
+    compile-OOM fix) must match the plain path to f32 rounding."""
+    from mdu_tpu.ops.groupnorm import group_norm, group_norm_fold
+
+    x = rng.normal(size=(3, 32, 9, 11)).astype(np.float32)
+    w = rng.normal(size=(32,)).astype(np.float32)
+    b = rng.normal(size=(32,)).astype(np.float32)
+    plain = group_norm(jnp.asarray(x), 8, jnp.asarray(w), jnp.asarray(b))
+    fold = group_norm_fold(jnp.asarray(x), 8, jnp.asarray(w), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(fold), np.asarray(plain),
+                               rtol=2e-4, atol=2e-5)
+    # bf16 activations keep their dtype
+    fold16 = group_norm_fold(jnp.asarray(x, jnp.bfloat16), 8,
+                             jnp.asarray(w), jnp.asarray(b))
+    assert fold16.dtype == jnp.bfloat16
