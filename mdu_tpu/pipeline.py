@@ -802,7 +802,6 @@ class DiffusionPipeline:
                 # the reference's default checkbox state (ref :112)
                 th, tw = int(target_size[0]), int(target_size[1])
                 if (x_img.shape[-2], x_img.shape[-1]) != (th, tw):
-                    from .ops.resize import resize_nchw
                     x_img = resize_nchw(x_img, (th, tw), "lanczos")
 
             H, W = x_img.shape[-2], x_img.shape[-1]
