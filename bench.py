@@ -508,11 +508,6 @@ def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
     c5bs = int(os.environ.get("MDU_BENCH_C5_TILE_BS", "2"))
     cfg = DemoFusionConfig(window_size=128, overlap=64, scale_factor=3,
                            tile_bs=c5bs, tile_bs_g=c5bs)
-    # folded GroupNorm for this phase only: the unrolled scale-3 program
-    # compile-OOMs (17.38G vs 15.75G HBM) with 15 co-live 85 MB f32
-    # GroupNorm temps; MDU_GN=fold removes them (groupnorm.py).  Scoped so
-    # the other phases keep their cached HLO.
-    os.environ.setdefault("MDU_GN", "fold")
     tv = TiledVAEConfig(decoder_tile_size=96, fast_decoder=False, fast_encoder=False)
     sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
                        denoising_strength=0.45)
@@ -565,6 +560,20 @@ def main():
     only = os.environ.get("MDU_BENCH_CONFIGS")      # e.g. "2" or "1,2,8k"
     for name, min_budget, fn in phases:
         if only and name.split("-")[0].lstrip("config") not in only.split(","):
+            continue
+        if name == "config5-sdxl-demofusion" and not only \
+                and os.environ.get("MDU_BENCH_C5", "0") != "1":
+            # the unrolled scale-3 SDXL program fails TPU AOT compilation on
+            # a 16 GiB chip (measured: 17.38G needed vs 15.75G, 31% HLO-temp
+            # fragmentation across ~14 inlined UNet+ControlNet calls; the
+            # MDU_GN=fold variant was no better at 18.04G).  Attempting it
+            # burns ~11 min of budget per try for a guaranteed failure, so
+            # skip honestly until the window/global batches run as a
+            # lax.scan (ROADMAP round-5 #1).  MDU_BENCH_C5=1 forces the
+            # attempt; MDU_BENCH_CONFIGS=5 also runs it.
+            RESULT["secondary"][f"skipped_{name}"] = \
+                "hbm: unrolled scale-3 compile-OOM (ROADMAP r5 scan fix)"
+            emit()
             continue
         if budget_left() < min_budget:
             log(f"skipping {name}: {budget_left():.0f}s budget left "
