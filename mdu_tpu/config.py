@@ -110,6 +110,13 @@ class DemoFusionConfig:
     gaussian_filter: bool = True
     keep_intermediate: bool = True
     denoise_strengths: Tuple[float, ...] = (0.45,)  # per-phase strengths
+    # Run the window/global view batches as a lax.scan (ONE UNet body in the
+    # HLO) instead of unrolling every batch inline.  Same math — the tail
+    # batch is padded with a duplicated, zero-weighted window.  Unrolled
+    # scale-3 SDXL programs fail TPU AOT compilation on 16 GiB chips (17.4G
+    # needed, 31% HLO-temp fragmentation); scan keeps one body's footprint.
+    # None = env MDU_DF_SCAN=1, else unrolled (the proven default).
+    scan_windows: Optional[bool] = None
 
 
 @dataclass

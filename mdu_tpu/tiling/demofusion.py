@@ -189,6 +189,59 @@ def _window_cond(c_pad, offs, tile: int, hw: Tuple[int, int], jr: int):
     return _map_cond(c_pad, slice_leaf)
 
 
+def _resolve_df_scan(cfg) -> bool:
+    """cfg.scan_windows, or env MDU_DF_SCAN=1 when unset."""
+    import os
+
+    if cfg.scan_windows is not None:
+        return bool(cfg.scan_windows)
+    return os.environ.get("MDU_DF_SCAN", "0") == "1"
+
+
+def _pad_batches(batches, bs: int):
+    """Pad index batches to uniform width ``bs`` by duplicating the last
+    entry with weight 0 — the scan-grid convention (schedulers.py scan grid).
+    Returns (idx [nb, bs] int32, weight [nb, bs] f32)."""
+    import numpy as _np
+
+    nb = len(batches)
+    idx = _np.zeros((nb, bs), _np.int32)
+    wm = _np.zeros((nb, bs), _np.float32)
+    for bi, batch in enumerate(batches):
+        for k in range(bs):
+            idx[bi, k] = batch[min(k, len(batch) - 1)]
+            wm[bi, k] = 1.0 if k < len(batch) else 0.0
+    return idx, wm
+
+
+def _dilated_cond_dyn(c, oys, oxs, K: int, scale: int, hw: Tuple[int, int]):
+    """_dilated_cond with *traced* per-view offsets (scan bodies cannot use
+    ``oy::s`` strided slicing): canvas leaves go through reshape-and-take,
+    offset-independent leaves replicate exactly as the static path does."""
+    if c is None:
+        return None
+    H, W = hw
+    f = LATENT_TO_PIXEL
+
+    def slice_leaf(leaf):
+        if leaf.ndim == 4 and leaf.shape[2:] == (H, W):
+            B0, C0 = leaf.shape[0], leaf.shape[1]
+            lr = leaf.reshape(B0, C0, H // scale, scale, W // scale, scale)
+            return jnp.concatenate([
+                jnp.take(jnp.take(lr, oys[k], axis=3), oxs[k], axis=4)
+                for k in range(K)], axis=0)
+        if leaf.ndim == 4 and leaf.shape[2:] == (H * f, W * f):
+            from ..ops.resize import resize_nchw
+            from .conds import dequantize_hint
+
+            small = resize_nchw(dequantize_hint(leaf),
+                                (H // scale * f, W // scale * f), "linear")
+            return jnp.concatenate([small] * K, axis=0)
+        return jnp.concatenate([leaf] * K, axis=0)
+
+    return _map_cond(c, slice_leaf)
+
+
 def _dilated_cond(c, views, scale: int, hw: Tuple[int, int]):
     """Per-dilated-view cond batch: canvas leaves subsampled ``[oy::s, ox::s]``
     (ref global_split_bboxes consumes the same strided views, :87-99)."""
@@ -270,6 +323,7 @@ def make_demofusion_denoiser(
     uncond_f = DiffusionPipeline._as_cond_fn(uncond) if uncond is not None else None
     # padded-coord window bases; the traced jitter is added per step
     bases = np.array([[b.y + jr, b.x + jr] for b in plan.windows], np.int32)
+    scan_windows = _resolve_df_scan(cfg)
 
     def denoised_fn(x, sigma, step):
         B, C, H, W = x.shape
@@ -290,20 +344,53 @@ def make_demofusion_denoiser(
         buf = jnp.zeros_like(xp)
         cnt = jnp.zeros((1, 1, H + 2 * jr, W + 2 * jr), jnp.float32)
         one = jnp.ones((1, 1, tile, tile), jnp.float32)
-        for idx_batch in plan.window_batches:
-            woffs = [(offs[i, 0], offs[i, 1]) for i in idx_batch]
-            tiles = jnp.concatenate([
-                jax.lax.dynamic_slice(xp, (0, 0, oy, ox), (B, C, tile, tile))
-                for oy, ox in woffs], axis=0)
-            cw = _window_cond(c_padded, woffs, tile, hw, jr)
-            uw = _window_cond(u_padded, woffs, tile, hw, jr)
-            out = guided(tiles, sigma, cw, uw)
-            out = out.reshape(len(idx_batch), B, C, tile, tile)
-            for k, (oy, ox) in enumerate(woffs):
-                cur = jax.lax.dynamic_slice(buf, (0, 0, oy, ox), (B, C, tile, tile))
-                buf = jax.lax.dynamic_update_slice(buf, cur + out[k], (0, 0, oy, ox))
-                cc = jax.lax.dynamic_slice(cnt, (0, 0, oy, ox), (1, 1, tile, tile))
-                cnt = jax.lax.dynamic_update_slice(cnt, cc + one, (0, 0, oy, ox))
+        if scan_windows and len(plan.window_batches) > 1:
+            # ONE UNet body in the HLO: scan over uniform window batches
+            # (tail padded with a duplicated, zero-weighted window).  The
+            # unrolled scale-3 SDXL program fails AOT compilation on 16 GiB
+            # chips; this is the structural fix (ROADMAP r5 #1).
+            wbs = max(len(b) for b in plan.window_batches)
+            w_idx, w_wm = _pad_batches(plan.window_batches, wbs)
+
+            def win_body(carry, inp):
+                buf, cnt = carry
+                ids, wk = inp
+                woffs = [(offs[ids[k], 0], offs[ids[k], 1]) for k in range(wbs)]
+                tiles = jnp.concatenate([
+                    jax.lax.dynamic_slice(xp, (0, 0, oy, ox), (B, C, tile, tile))
+                    for oy, ox in woffs], axis=0)
+                cw = _window_cond(c_padded, woffs, tile, hw, jr)
+                uw = _window_cond(u_padded, woffs, tile, hw, jr)
+                out = guided(tiles, sigma, cw, uw)
+                out = out.reshape(wbs, B, C, tile, tile)
+                for k, (oy, ox) in enumerate(woffs):
+                    cur = jax.lax.dynamic_slice(buf, (0, 0, oy, ox),
+                                                (B, C, tile, tile))
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, cur + out[k] * wk[k], (0, 0, oy, ox))
+                    cc = jax.lax.dynamic_slice(cnt, (0, 0, oy, ox),
+                                               (1, 1, tile, tile))
+                    cnt = jax.lax.dynamic_update_slice(
+                        cnt, cc + one * wk[k], (0, 0, oy, ox))
+                return (buf, cnt), None
+
+            (buf, cnt), _ = jax.lax.scan(
+                win_body, (buf, cnt), (jnp.asarray(w_idx), jnp.asarray(w_wm)))
+        else:
+            for idx_batch in plan.window_batches:
+                woffs = [(offs[i, 0], offs[i, 1]) for i in idx_batch]
+                tiles = jnp.concatenate([
+                    jax.lax.dynamic_slice(xp, (0, 0, oy, ox), (B, C, tile, tile))
+                    for oy, ox in woffs], axis=0)
+                cw = _window_cond(c_padded, woffs, tile, hw, jr)
+                uw = _window_cond(u_padded, woffs, tile, hw, jr)
+                out = guided(tiles, sigma, cw, uw)
+                out = out.reshape(len(idx_batch), B, C, tile, tile)
+                for k, (oy, ox) in enumerate(woffs):
+                    cur = jax.lax.dynamic_slice(buf, (0, 0, oy, ox), (B, C, tile, tile))
+                    buf = jax.lax.dynamic_update_slice(buf, cur + out[k], (0, 0, oy, ox))
+                    cc = jax.lax.dynamic_slice(cnt, (0, 0, oy, ox), (1, 1, tile, tile))
+                    cnt = jax.lax.dynamic_update_slice(cnt, cc + one, (0, 0, oy, ox))
         cnt = jnp.where(cnt == 0, 1.0, cnt)          # jitter can leave gaps (ref :262)
         x_local = (buf / cnt)[:, :, jr:jr + H, jr:jr + W]
 
@@ -318,23 +405,72 @@ def make_demofusion_denoiser(
 
         n_total = len(plan.global_offsets)
         x_global = jnp.zeros_like(x)
-        seen = 0
-        for batch in plan.global_batches:
-            views = []
-            for idx_in_batch, (oy, ox) in enumerate(batch):
-                # mixture mode: first half of the doubled offset list uses the
-                # unblurred input, second half the blurred one (ref :283-304)
-                use_plain = cfg.mixture and (seen + idx_in_batch) < n_total // 2
-                src = x if use_plain else xg
-                views.append(src[:, :, oy::s, ox::s])
-            flat = jnp.concatenate(views, axis=0)
-            cg = _dilated_cond(c_step, batch, s, hw)
-            ug = _dilated_cond(u_step, batch, s, hw)
-            out = guided(flat, sigma, cg, ug)
-            out = out.reshape(len(batch), B, C, out.shape[-2], out.shape[-1])
-            for k, (oy, ox) in enumerate(batch):
-                x_global = x_global.at[:, :, oy::s, ox::s].add(out[k])
-            seen += len(batch)
+        if scan_windows and len(plan.global_batches) > 1:
+            # scan over dilated-view batches: strided ``oy::s`` views become
+            # reshape-and-take (traced offsets can't stride-slice), and the
+            # scatter-back is a dynamic-index .add on the reshaped canvas
+            gbs = max(len(b) for b in plan.global_batches)
+            Hs, Ws = H // s, W // s
+            goy = np.zeros((len(plan.global_batches), gbs), np.int32)
+            gox = np.zeros((len(plan.global_batches), gbs), np.int32)
+            gwm = np.zeros((len(plan.global_batches), gbs), np.float32)
+            gpl = np.zeros((len(plan.global_batches), gbs), np.float32)
+            seen = 0
+            for bi, batch in enumerate(plan.global_batches):
+                for k in range(gbs):
+                    kk = min(k, len(batch) - 1)
+                    goy[bi, k], gox[bi, k] = batch[kk]
+                    gwm[bi, k] = 1.0 if k < len(batch) else 0.0
+                    # mixture: first half of the doubled offsets unblurred
+                    # (ref :283-304)
+                    gpl[bi, k] = 1.0 if (cfg.mixture
+                                         and (seen + kk) < n_total // 2) else 0.0
+                seen += len(batch)
+            xr = x.reshape(B, C, Hs, s, Ws, s)
+            xgr = xg.reshape(B, C, Hs, s, Ws, s)
+            xga_r = x_global.reshape(B, C, Hs, s, Ws, s)
+
+            def glob_body(xga_r, inp):
+                oys, oxs, wk, pl = inp
+                views = []
+                for k in range(gbs):
+                    vg = jnp.take(jnp.take(xgr, oys[k], axis=3), oxs[k], axis=4)
+                    if cfg.mixture:
+                        vp = jnp.take(jnp.take(xr, oys[k], axis=3), oxs[k], axis=4)
+                        vg = vp * pl[k] + vg * (1.0 - pl[k])
+                    views.append(vg)
+                flat = jnp.concatenate(views, axis=0)
+                cg = _dilated_cond_dyn(c_step, oys, oxs, gbs, s, hw)
+                ug = _dilated_cond_dyn(u_step, oys, oxs, gbs, s, hw)
+                out = guided(flat, sigma, cg, ug)
+                out = out.reshape(gbs, B, C, Hs, Ws)
+                for k in range(gbs):
+                    xga_r = xga_r.at[:, :, :, oys[k], :, oxs[k]].add(out[k] * wk[k])
+                return xga_r, None
+
+            xga_r, _ = jax.lax.scan(
+                glob_body, xga_r,
+                (jnp.asarray(goy), jnp.asarray(gox),
+                 jnp.asarray(gwm), jnp.asarray(gpl)))
+            x_global = xga_r.reshape(B, C, H, W)
+        else:
+            seen = 0
+            for batch in plan.global_batches:
+                views = []
+                for idx_in_batch, (oy, ox) in enumerate(batch):
+                    # mixture mode: first half of the doubled offset list uses the
+                    # unblurred input, second half the blurred one (ref :283-304)
+                    use_plain = cfg.mixture and (seen + idx_in_batch) < n_total // 2
+                    src = x if use_plain else xg
+                    views.append(src[:, :, oy::s, ox::s])
+                flat = jnp.concatenate(views, axis=0)
+                cg = _dilated_cond(c_step, batch, s, hw)
+                ug = _dilated_cond(u_step, batch, s, hw)
+                out = guided(flat, sigma, cg, ug)
+                out = out.reshape(len(batch), B, C, out.shape[-2], out.shape[-1])
+                for k, (oy, ox) in enumerate(batch):
+                    x_global = x_global.at[:, :, oy::s, ox::s].add(out[k])
+                seen += len(batch)
         if cfg.mixture:
             x_global = x_global / 2.0
 
@@ -444,7 +580,8 @@ def demofusion_generate(
             jkey = ("demofusion", plan.cache_key(), t_enc, int(sigmas.shape[0]),
                     sp.name, sp.cfg_scale, uncond is None,
                     cfg.cosine_scale_1, cfg.cosine_scale_2, cfg.cosine_scale_3,
-                    cfg.sigma, cfg.gaussian_filter, cfg.mixture)
+                    cfg.sigma, cfg.gaussian_filter, cfg.mixture,
+                    _resolve_df_scan(cfg))
             if sp.name in STATIC_SIGMA_SAMPLERS:
                 jkey += (tuple(np.asarray(sigmas_const).tolist()),)
             runner = pipe._cached_jit(jkey, builder)

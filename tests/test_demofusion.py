@@ -262,3 +262,49 @@ def test_demofusion_metadata_roundtrip():
     # every produced phase records its pixel size (base 128 + phase-2 256)
     assert info["DemoFusion"]["Phase sizes"] == [[128, 128], [256, 256]]
     assert info["Seed"] == 5
+
+
+def test_demofusion_scan_matches_unrolled(rng):
+    """scan_windows=True (one UNet body per HLO — the 16 GiB compile-OOM
+    fix) must reproduce the unrolled path: same windows, same fusion, the
+    padded tail window zero-weighted.  Geometry chosen for a non-uniform
+    tail batch (9 windows / tile_bs 2) + doubled mixture offsets."""
+    cfg = dataclasses.replace(CFG, window_size=16, overlap=8, tile_bs=2,
+                              tile_bs_g=3, scale_factor=2, mixture=True,
+                              gaussian_filter=True, sigma=0.6)
+    plan = plan_demofusion_phase(32, 32, 2, cfg)
+    assert len(plan.window_batches[-1]) == 1      # 9 windows / bs 2: real tail
+    lat0 = jnp.asarray(rng.normal(size=(1, 4, 32, 32)).astype(np.float32)) * 0.1
+    noise = jnp.asarray(rng.normal(size=(1, 4, 32, 32)).astype(np.float32))
+    cond = {"crossattn": jnp.zeros((1, 7, 16)),
+            "canvas": jnp.asarray(rng.normal(size=(1, 2, 32, 32)).astype(np.float32))}
+
+    def guided(views, sigma, c, u):
+        # cond-sensitive pseudo-denoiser: canvas leaf participates so the
+        # scan path's reshape-and-take cond slicing is exercised
+        return views * 0.9 + 0.05 * c["canvas"][:, :1] if isinstance(c, dict) \
+            and "canvas" in c else views * 0.9
+
+    jit_arr = jnp.asarray(draw_jitter(plan, np.random.default_rng(4)))
+    x = jnp.asarray(rng.normal(size=(1, 4, 32, 32)).astype(np.float32))
+
+    outs = {}
+    for scan in (False, True):
+        c = dataclasses.replace(cfg, scan_windows=scan)
+        fn = make_demofusion_denoiser(plan, c, guided, cond, None, lat0,
+                                      noise, t_enc=4, jitter=jit_arr)
+        outs[scan] = np.asarray(jax.jit(fn)(x, jnp.asarray(1.0), jnp.asarray(0)))
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-5, atol=1e-5)
+
+
+def test_demofusion_generate_scan_end_to_end():
+    pipe = _pipe()
+    cond = {"crossattn": jax.random.normal(jax.random.PRNGKey(2), (1, 7, 16)) * 0.1}
+    uncond = {"crossattn": jax.random.normal(jax.random.PRNGKey(3), (1, 7, 16)) * 0.1}
+    cfg = dataclasses.replace(CFG, scale_factor=2, mixture=True, tile_bs=2,
+                              tile_bs_g=2, scan_windows=True)
+    res = pipe.demofusion(cond, uncond, width=128, height=128, cfg=cfg,
+                          sampler=SamplerConfig(steps=2, denoising_strength=0.6),
+                          seed=5, decode=False)
+    assert res.latents.shape == (1, 4, 32, 32)
+    assert np.isfinite(np.asarray(res.latents)).all()
