@@ -506,8 +506,11 @@ def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
     # the workload (SDXL DemoFusion x3 + ControlNet @ 3072^2), not the
     # batch.  Override: MDU_BENCH_C5_TILE_BS.
     c5bs = int(os.environ.get("MDU_BENCH_C5_TILE_BS", "2"))
+    # scan_windows: the unrolled scale-3 program fails AOT compilation on a
+    # 16 GiB chip (17.4G vs 15.75G, 31% fragmentation); the scan form keeps
+    # ONE UNet body in the HLO (bitwise-parity-tested vs unrolled)
     cfg = DemoFusionConfig(window_size=128, overlap=64, scale_factor=3,
-                           tile_bs=c5bs, tile_bs_g=c5bs)
+                           tile_bs=c5bs, tile_bs_g=c5bs, scan_windows=True)
     tv = TiledVAEConfig(decoder_tile_size=96, fast_decoder=False, fast_encoder=False)
     sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
                        denoising_strength=0.45)
@@ -562,17 +565,12 @@ def main():
         if only and name.split("-")[0].lstrip("config") not in only.split(","):
             continue
         if name == "config5-sdxl-demofusion" and not only \
-                and os.environ.get("MDU_BENCH_C5", "0") != "1":
-            # the unrolled scale-3 SDXL program fails TPU AOT compilation on
-            # a 16 GiB chip (measured: 17.38G needed vs 15.75G, 31% HLO-temp
-            # fragmentation across ~14 inlined UNet+ControlNet calls; the
-            # MDU_GN=fold variant was no better at 18.04G).  Attempting it
-            # burns ~11 min of budget per try for a guaranteed failure, so
-            # skip honestly until the window/global batches run as a
-            # lax.scan (ROADMAP round-5 #1).  MDU_BENCH_C5=1 forces the
-            # attempt; MDU_BENCH_CONFIGS=5 also runs it.
-            RESULT["secondary"][f"skipped_{name}"] = \
-                "hbm: unrolled scale-3 compile-OOM (ROADMAP r5 scan fix)"
+                and os.environ.get("MDU_BENCH_C5", "1") != "1":
+            # escape hatch (MDU_BENCH_C5=0): the phase now runs via the
+            # scan-windows program (one UNet body); the unrolled form
+            # compile-OOM'd 16 GiB chips (17.38G vs 15.75G, 31% HLO-temp
+            # fragmentation across ~14 inlined UNet+ControlNet calls)
+            RESULT["secondary"][f"skipped_{name}"] = "disabled via MDU_BENCH_C5=0"
             emit()
             continue
         if budget_left() < min_budget:
