@@ -189,13 +189,23 @@ def _window_cond(c_pad, offs, tile: int, hw: Tuple[int, int], jr: int):
     return _map_cond(c_pad, slice_leaf)
 
 
-def _resolve_df_scan(cfg) -> bool:
-    """cfg.scan_windows, or env MDU_DF_SCAN=1 when unset."""
+def _resolve_df_scan(cfg, plan=None) -> bool:
+    """cfg.scan_windows; unset -> env MDU_DF_SCAN (1/0), else auto: engage
+    once the phase would inline >= MDU_TILE_SCAN_THRESHOLD (default 8)
+    denoiser calls — the same unroll-vs-compile-time threshold as the tiled
+    grid (schedulers.py::_resolve_tile_scan).  An unrolled scale-3 SDXL
+    phase (18 calls) fails AOT compilation outright on 16 GiB chips."""
     import os
 
     if cfg.scan_windows is not None:
         return bool(cfg.scan_windows)
-    return os.environ.get("MDU_DF_SCAN", "0") == "1"
+    env = os.environ.get("MDU_DF_SCAN")
+    if env is not None:
+        return env == "1"
+    if plan is None:
+        return False
+    thresh = int(os.environ.get("MDU_TILE_SCAN_THRESHOLD", "8"))
+    return len(plan.window_batches) + len(plan.global_batches) >= thresh
 
 
 def _pad_batches(batches, bs: int):
@@ -323,7 +333,7 @@ def make_demofusion_denoiser(
     uncond_f = DiffusionPipeline._as_cond_fn(uncond) if uncond is not None else None
     # padded-coord window bases; the traced jitter is added per step
     bases = np.array([[b.y + jr, b.x + jr] for b in plan.windows], np.int32)
-    scan_windows = _resolve_df_scan(cfg)
+    scan_windows = _resolve_df_scan(cfg, plan)
 
     def denoised_fn(x, sigma, step):
         B, C, H, W = x.shape
@@ -581,7 +591,7 @@ def demofusion_generate(
                     sp.name, sp.cfg_scale, uncond is None,
                     cfg.cosine_scale_1, cfg.cosine_scale_2, cfg.cosine_scale_3,
                     cfg.sigma, cfg.gaussian_filter, cfg.mixture,
-                    _resolve_df_scan(cfg))
+                    _resolve_df_scan(cfg, plan))
             if sp.name in STATIC_SIGMA_SAMPLERS:
                 jkey += (tuple(np.asarray(sigmas_const).tolist()),)
             runner = pipe._cached_jit(jkey, builder)
