@@ -120,6 +120,33 @@ def retry(fn, what, tries=2):
     return None
 
 
+def release_pipeline(pipe):
+    """Free a pipeline's device param buffers + cached executables.
+
+    Config 5 builds a 7.3 GB SDXL+ControlNet stack while the SD1.5 pipe
+    from build_models (~1.9 GB bf16 UNet+VAE) is still resident — on a
+    15.75 GiB chip that margin is the difference between RESOURCE_EXHAUSTED
+    and a run (r4 postmortem: tile_bs=1 still OOM'd with SD1.5 resident).
+    `.delete()` frees buffers even while Python references remain;
+    idempotent via is_deleted() so a retry of the phase is safe.
+    """
+    import gc
+
+    freed = 0
+    for leaf in jax.tree.leaves((pipe.unet_params, pipe.vae_params,
+                                 pipe.controlnet_params, pipe.guidance_params)):
+        if hasattr(leaf, "delete") and hasattr(leaf, "is_deleted"):
+            if not leaf.is_deleted():
+                freed += leaf.nbytes
+                leaf.delete()
+    pipe.unet_params = pipe.vae_params = None
+    pipe.controlnet_params = pipe.guidance_params = None
+    pipe._jit_cache.clear()             # drop compiled-program device state
+    gc.collect()
+    log(f"released pipeline: {freed / 2**30:.2f} GiB of param buffers")
+    return freed
+
+
 def build_models():
     from mdu_tpu.models import (
         AutoencoderKL, UNet2DCondition, VAEConfig, random_params, sd15_unet_config,
@@ -465,9 +492,14 @@ def bench_regional(pipe, cond, uncond):
     log(f"config 4 steady-state: {dt:.2f}s/image")
 
 
-def bench_sdxl_demofusion(pipe_unused, cond_unused, uncond_unused):
+def bench_sdxl_demofusion(sd15_pipe, cond_unused, uncond_unused):
     """Config 5: SDXL DemoFusion x3 with ControlNet tile on 3072x3072."""
     import numpy as np
+
+    # Config 5 is the last phase: evict the SD1.5 stack (~1.9 GiB) before
+    # the 7.3 GiB SDXL+ControlNet build — the scale-3 program needs the
+    # headroom (see release_pipeline docstring).
+    release_pipeline(sd15_pipe)
 
     from mdu_tpu.config import DemoFusionConfig, SamplerConfig, TiledVAEConfig
     from mdu_tpu.models import (AutoencoderKL, ControlNet, UNet2DCondition,
