@@ -601,24 +601,19 @@ def main():
                lambda: bench_regional(pipe, cond, uncond)),
               ("config8k-upscale", 700,
                lambda: bench_8k_upscale(pipe, cond, uncond)),
-              ("config5-sdxl-demofusion", 900,
+              ("config5-sdxl-demofusion", 1100,
                lambda: bench_sdxl_demofusion(pipe, cond, uncond))]
     only = os.environ.get("MDU_BENCH_CONFIGS")      # e.g. "2" or "1,2,8k"
     for name, min_budget, fn in phases:
         if only and name.split("-")[0].lstrip("config") not in only.split(","):
             continue
-        if name == "config5-sdxl-demofusion" and not only \
-                and os.environ.get("MDU_BENCH_C5", "0") != "1":
-            # Round-4 state: the scan-windows form FIXED the compile-time
-            # OOM (unrolled: AOT verdict 17.38G vs 15.75G; scan: compiles in
-            # ~8 min, 39 MB cache entry vs 162 MB) but the scale-3 run still
-            # RESOURCE_EXHAUSTEDs at runtime with tile_bs=2 — 7.34G params
-            # (SDXL UNet + ControlNet + VAE bf16) + program temps sit at the
-            # 15.75G edge.  A doomed attempt costs ~25 min of driver budget,
-            # so skip honestly; next lever is tile_bs=1 (MDU_BENCH_C5=1 or
-            # MDU_BENCH_CONFIGS=5 force the attempt).
-            RESULT["secondary"][f"skipped_{name}"] = \
-                "hbm: scale-3 runtime OOM at tile_bs=2 (scan form compiles; ROADMAP r5)"
+        if name == "config5-sdxl-demofusion" \
+                and os.environ.get("MDU_BENCH_C5", "1") == "0":
+            # escape hatch only — config 5 runs by default since the SD1.5
+            # eviction (release_pipeline) fixed the runtime OOM: scan-windows
+            # form + tile_bs=2 ran end-to-end on-chip 2026-08-19 (661 s first
+            # pass incl. warm-cache compile, final latent [1,4,384,384])
+            RESULT["secondary"][f"skipped_{name}"] = "MDU_BENCH_C5=0"
             emit()
             continue
         if budget_left() < min_budget:

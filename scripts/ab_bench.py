@@ -232,6 +232,64 @@ def bench_deepcache():
               f"(mean |d| vs exact {drift:.4f}, images in [0,1])", flush=True)
 
 
+def bench_decode_tile():
+    """Decoder-tile-size A/B on the exact config-2 workload.
+
+    Sampling already runs near the matmul roofline (~133 TF/s effective at
+    20 steps), so the remaining fat in the 3.0 s/img exact number is the
+    tiled-VAE decode: tile 64 on a 256x64 latent pays 5 tiles of halo +
+    per-tile GroupNorm lockstep sync.  Exact lockstep stats are global, so
+    the output is tile-size-independent (fp rounding aside) — a larger tile
+    is the same math with less redundant halo compute."""
+    from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
+    from mdu_tpu.models import (AutoencoderKL, UNet2DCondition, VAEConfig,
+                                random_params, sd15_unet_config)
+    from mdu_tpu.models.unet import default_unet_layout
+    from mdu_tpu.pipeline import DiffusionPipeline
+
+    dt = jnp.bfloat16
+    unet = UNet2DCondition(sd15_unet_config(), dtype=dt,
+                           layout=default_unet_layout())
+    vae = AutoencoderKL(VAEConfig(), dtype=dt)
+    up = jax.tree.map(lambda a: a.astype(dt),
+                      random_params(unet, 0, jnp.zeros((1, 4, 8, 8)),
+                                    jnp.zeros((1,)), jnp.zeros((1, 77, 768))))
+    vp = jax.tree.map(lambda a: a.astype(dt),
+                      random_params(vae, 1, jnp.zeros((1, 3, 64, 64)),
+                                    jax.random.PRNGKey(0)))
+    pipe = DiffusionPipeline(unet, up, vae, vp)
+    cond = {"crossattn": jax.random.normal(jax.random.PRNGKey(2), (1, 77, 768), dt) * 0.1}
+    unc = {"crossattn": jax.random.normal(jax.random.PRNGKey(3), (1, 77, 768), dt) * 0.1}
+    td = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=96, tile_h=96,
+                              overlap=48, tile_bs=8)
+    sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0)
+    ref_img = None
+    for ts in (64, 96, 128):
+        tv = TiledVAEConfig(decoder_tile_size=ts, fast_decoder=False,
+                            fast_encoder=False)
+
+        def run(seed, tv=tv):
+            return pipe.txt2img(cond, unc, width=2048, height=512, sampler=sp,
+                                seed=seed, tiled_diffusion=td, tiled_vae=tv)
+
+        t0 = time.time()
+        r = run(0)
+        print(f"decode_tile={ts} first (incl. compile): {time.time()-t0:.1f}s",
+              flush=True)
+        reps = 3
+        t0 = time.time()
+        for i in range(1, reps + 1):
+            r = run(i)                 # txt2img returns a synced np image
+        dtm = (time.time() - t0) / reps
+        img0 = np.asarray(run(0).images, np.float32) / 255.0
+        if ref_img is None:
+            ref_img, drift = img0, 0.0
+        else:
+            drift = float(np.abs(img0 - ref_img).mean())
+        print(f"decode_tile={ts}: {dtm:.2f}s/image = {60/dtm:.2f} img/min "
+              f"(mean |d| vs tile64 {drift:.5f})", flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--kernels", action="store_true")
@@ -242,8 +300,11 @@ if __name__ == "__main__":
     ap.add_argument("--conv-mm", action="store_true")
     ap.add_argument("--xattn", action="store_true")
     ap.add_argument("--deepcache", action="store_true")
+    ap.add_argument("--decode-tile", action="store_true")
     args = ap.parse_args()
-    if args.deepcache:
+    if args.decode_tile:
+        bench_decode_tile()
+    elif args.deepcache:
         bench_deepcache()
     elif args.xattn:
         bench_xattn()
