@@ -36,10 +36,15 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/mdu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 BASELINE_IMG_PER_MIN = 6.0
-# Default well under the driver's observed kill window: BENCH_r03 ran with
-# BUDGET=2700 and was SIGTERM'd mid-phase (rc=124, no JSON).  2100s leaves
-# headroom for model-build + JSON emission even on a cold compile cache.
-BUDGET = int(os.environ.get("MDU_BENCH_BUDGET_SECS", "2100"))
+# Budget strategy: the partial JSON streams to stdout after EVERY phase
+# (consumers take the last line), so an outer kill mid-phase loses only
+# that phase — same cost as skipping it, and SIGTERM still triggers a
+# final emit.  The default is therefore sized to the full warm-cache
+# seven-phase pass (~2700 s measured: 1983 s without config 5 + ~500-800 s
+# for it) rather than to the unknown driver window; phases are ordered
+# cheap/high-value first so whatever the window is, the most complete
+# prefix lands.  BENCH_r03 (rc=124, parsed:null) predates the streaming.
+BUDGET = int(os.environ.get("MDU_BENCH_BUDGET_SECS", "3300"))
 START = time.time()
 RESULT = {"metric": "sd15_multidiffusion_txt2img_2048x512_20steps",
           "value": 0.0, "unit": "images/min/chip", "vs_baseline": 0.0,
@@ -147,6 +152,22 @@ def release_pipeline(pipe):
     return freed
 
 
+def rebuild_sd15_params(pipe):
+    """Re-attach SD1.5 params to a pipeline released by release_pipeline."""
+    from mdu_tpu.models import random_params
+
+    dtype = jnp.bfloat16
+    t0 = time.time()
+    ca = pipe.unet.cfg.cross_attention_dim
+    up = random_params(pipe.unet, 0, jnp.zeros((1, 4, 8, 8)), jnp.zeros((1,)),
+                       jnp.zeros((1, 77, ca)))
+    pipe.unet_params = jax.tree.map(lambda a: a.astype(dtype), up)
+    vp = random_params(pipe.vae, 1, jnp.zeros((1, 3, 64, 64)),
+                       jax.random.PRNGKey(0))
+    pipe.vae_params = jax.tree.map(lambda a: a.astype(dtype), vp)
+    log(f"sd15 params rebuilt in {time.time()-t0:.1f}s")
+
+
 def build_models():
     from mdu_tpu.models import (
         AutoencoderKL, UNet2DCondition, VAEConfig, random_params, sd15_unet_config,
@@ -239,7 +260,11 @@ def bench_panorama(pipe, cond, uncond):
 
     td = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=96, tile_h=96,
                               overlap=48, tile_bs=8)
-    tv = TiledVAEConfig(decoder_tile_size=64, fast_decoder=False, fast_encoder=False)
+    # decoder tile 128 (not 64): exact lockstep stats are global, so the
+    # output is tile-size-invariant to fp rounding, and the larger tile
+    # pays less halo — A/B 2026-08-19 (ab_bench --decode-tile): 64 20.01 |
+    # 96 20.06 | 128 20.20 img/min exact (mean |d| 1.2e-3 in [0,1])
+    tv = TiledVAEConfig(decoder_tile_size=128, fast_decoder=False, fast_encoder=False)
 
     def measure(deepcache, n=3):
         sp = SamplerConfig(name="Euler", steps=20, cfg_scale=7.0,
@@ -409,6 +434,12 @@ def bench_8k_upscale(pipe, cond, uncond):
     import numpy as np
 
     from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig
+
+    if pipe.unet_params is None:
+        # config 5 ran first and evicted the SD1.5 stack (release_pipeline);
+        # rebuild params (~90 s) — this phase's own programs were never in
+        # the cleared in-process jit cache, so nothing else is lost
+        rebuild_sd15_params(pipe)
 
     SIZE = int(os.environ.get("MDU_BENCH_8K_SIZE", "8192"))
     tv = _vae_8k_config()
@@ -599,10 +630,15 @@ def main():
                lambda: bench_mod_upscale(pipe, cond, uncond)),
               ("config4-regional", 250,
                lambda: bench_regional(pipe, cond, uncond)),
-              ("config8k-upscale", 700,
-               lambda: bench_8k_upscale(pipe, cond, uncond)),
+              # config 5 before the 8K upscale: it is the cheaper of the two
+              # expensive tails (~500-800 s warm vs ~970 s), so under a tight
+              # outer window the greedy order lands more complete phases.
+              # NOTE config 5 evicts the SD1.5 stack (release_pipeline) —
+              # every phase that needs `pipe` must run before it.
               ("config5-sdxl-demofusion", 1100,
-               lambda: bench_sdxl_demofusion(pipe, cond, uncond))]
+               lambda: bench_sdxl_demofusion(pipe, cond, uncond)),
+              ("config8k-upscale", 700,
+               lambda: bench_8k_upscale(pipe, cond, uncond))]
     only = os.environ.get("MDU_BENCH_CONFIGS")      # e.g. "2" or "1,2,8k"
     for name, min_budget, fn in phases:
         if only and name.split("-")[0].lstrip("config") not in only.split(","):
