@@ -22,6 +22,14 @@ Baseline estimate for config 2 on the reference stack (A1111 +
 MultiDiffusion extension, A100 80GB, xformers, fp16): ~10 s/image => 6
 images/min — from the reference's own telemetry format (tilevae.py:264-284)
 applied to community-reported panorama timings.  vs_baseline = ours / 6.
+Every other phase now has a documented baseline too (BASELINE.md "Reference
+baseline estimates" table: FLOPs-ratio scaling from the config-2 anchor),
+and emits a ``vs_baseline_*`` multiplier next to its number.
+
+The headline ``value`` is the EXACT (reference-semantics, no DeepCache)
+config-2 number; the DeepCache-accelerated variant (1.2% mean pixel drift)
+is opt-in via MDU_BENCH_DEEPCACHE>1 and lands in
+``secondary.config2_deepcache_img_per_min``.
 """
 import json
 import os
@@ -36,15 +44,42 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/mdu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 BASELINE_IMG_PER_MIN = 6.0
+
+# Reference-stack (A1111 + extensions, A100 80GB, fp16, xformers) baseline
+# estimates per phase.  Method documented in BASELINE.md "Reference baseline
+# estimates": the config-2 anchor (6 img/min, community-reported) scaled by
+# each workload's UNet tile-call FLOPs ratio, plus community-reported tiled
+# VAE telemetry for the pure-VAE rates.  The reference publishes no
+# throughput numbers of its own (SURVEY.md §6) — these are auditable
+# estimates, not measurements.
+BASELINES = {
+    "config2_img_per_min": 6.0,
+    "config1_encode_mpix_s": 3.5,        # exact (non-fast) tiled encode
+    "config1_decode_mpix_s": 1.2,        # exact (non-fast) tiled decode
+    "config3_img_per_min": 2.0,          # MoD x4 + 10-step noise inversion
+    "config4_img_per_min": 2.0,          # 4 regions + background, 1536^2
+    "config5_img_per_min": 0.10,         # SDXL DemoFusion x3 + CN, 3072^2
+    "vae8k_encode_mpix_s": 6.0,          # fast tiled encode @ 8192^2
+    "vae8k_decode_mpix_s": 1.5,          # fast tiled decode @ 8192^2
+    "upscale_2k_to_8k_img_per_min": 0.14,
+}
+
+
+def vsb(key: str, value: float, baseline_key: str):
+    """Record a per-phase vs-reference multiplier next to its number."""
+    RESULT["secondary"][f"vs_baseline_{key}"] = round(
+        value / BASELINES[baseline_key], 2)
+
+
 # Budget strategy: the partial JSON streams to stdout after EVERY phase
 # (consumers take the last line), so an outer kill mid-phase loses only
 # that phase — same cost as skipping it, and SIGTERM still triggers a
-# final emit.  The default is therefore sized to the full warm-cache
-# seven-phase pass (~2700 s measured: 1983 s without config 5 + ~500-800 s
-# for it) rather than to the unknown driver window; phases are ordered
-# cheap/high-value first so whatever the window is, the most complete
-# prefix lands.  BENCH_r03 (rc=124, parsed:null) predates the streaming.
-BUDGET = int(os.environ.get("MDU_BENCH_BUDGET_SECS", "3300"))
+# final emit.  The driver window is now known: BENCH_r03 was killed at
+# ~2700 s and BENCH_r04 at 1802 s (killed_by_signal:15), so the default
+# budget stays safely inside ~1800 s; phases are ordered cheap/high-value
+# first (the 2K->8K steady state — the BASELINE.md headline — before the
+# config-5 tail) so the most complete prefix lands.
+BUDGET = int(os.environ.get("MDU_BENCH_BUDGET_SECS", "1600"))
 START = time.time()
 RESULT = {"metric": "sd15_multidiffusion_txt2img_2048x512_20steps",
           "value": 0.0, "unit": "images/min/chip", "vs_baseline": 0.0,
@@ -74,8 +109,12 @@ def _term_handler(signum, frame):
     emit_and_exit(0)
 
 
-signal.signal(signal.SIGTERM, _term_handler)
-signal.signal(signal.SIGINT, _term_handler)
+def install_signal_handlers():
+    """Installed from main(), not at import: `import bench` (tests) must not
+    leak handlers into the host process — a killed pytest-xdist worker would
+    otherwise exit 0 and mask the interruption (ADVICE r4)."""
+    signal.signal(signal.SIGTERM, _term_handler)
+    signal.signal(signal.SIGINT, _term_handler)
 
 
 def probe_device(seconds=120):
@@ -244,6 +283,10 @@ def bench_vae(pipe):
     RESULT["secondary"]["tiled_vae_encode_2048sq_mpix_s"] = round(enc, 2)
     RESULT["secondary"]["tiled_vae_decode_2048sq_mpix_s"] = round(dec, 2)
     RESULT["secondary"]["tiled_vae_decode_2048sq_device_mpix_s"] = round(dec_dev, 2)
+    vsb("config1_encode", enc, "config1_encode_mpix_s")
+    # compare the device-side rate: the A100 baseline's PCIe readback is
+    # negligible, this setup's ~20 MB/s tunnel readback is not chip perf
+    vsb("config1_decode_device", dec_dev, "config1_decode_mpix_s")
     log(f"config 1: encode {enc:.2f} Mpix/s, decode {dec:.2f} Mpix/s "
         f"(device-only {dec_dev:.2f})")
 
@@ -251,11 +294,13 @@ def bench_vae(pipe):
 def bench_panorama(pipe, cond, uncond):
     """Config 2 (PRIMARY): MultiDiffusion txt2img 2048x512, 20 steps.
 
-    Headline runs with DeepCache interval 2 (the round-4 on-chip A/B
-    winner: 24.65 vs 19.94 img/min at 1.2% mean pixel drift — docs/
-    TUNING.md); the exact no-cache number is always measured too and
-    recorded as ``config2_exact_img_per_min``.  MDU_BENCH_DEEPCACHE
-    overrides the headline interval (1 = exact headline)."""
+    The headline is the EXACT path — reference semantics, no DeepCache —
+    so the vs_baseline multiplier compares equal output quality (VERDICT
+    r4 weak #2).  MDU_BENCH_DEEPCACHE=N>1 additionally measures the
+    DeepCache-accelerated variant (round-4 on-chip A/B: 24.65 vs 19.94
+    img/min at interval 2, 1.2% mean pixel drift — docs/TUNING.md) and
+    records it as ``config2_deepcache_img_per_min``; the headline stays
+    exact either way."""
     from mdu_tpu.config import Method, SamplerConfig, TiledDiffusionConfig, TiledVAEConfig
 
     td = TiledDiffusionConfig(method=Method.MULTI_DIFF, tile_w=96, tile_h=96,
@@ -286,13 +331,15 @@ def bench_panorama(pipe, cond, uncond):
 
     exact = measure(1)
     RESULT["secondary"]["config2_exact_img_per_min"] = round(exact, 3)
-    log(f"config 2 exact steady-state: {exact:.2f} img/min")
+    log(f"config 2 exact steady-state (headline): {exact:.2f} img/min")
+    RESULT["value"] = round(exact, 3)
+    RESULT["vs_baseline"] = round(exact / BASELINE_IMG_PER_MIN, 3)
     dc = _bench_deepcache()
-    img_per_min = exact if dc == 1 else measure(dc)
-    log(f"config 2 headline (deepcache={dc}): {img_per_min:.2f} img/min")
-    RESULT["secondary"]["config2_deepcache_interval"] = dc
-    RESULT["value"] = round(img_per_min, 3)
-    RESULT["vs_baseline"] = round(img_per_min / BASELINE_IMG_PER_MIN, 3)
+    if dc > 1:
+        accel = measure(dc)
+        RESULT["secondary"]["config2_deepcache_img_per_min"] = round(accel, 3)
+        RESULT["secondary"]["config2_deepcache_interval"] = dc
+        log(f"config 2 deepcache={dc} (secondary): {accel:.2f} img/min")
 
 
 def bench_mod_upscale(pipe, cond, uncond):
@@ -326,6 +373,7 @@ def bench_mod_upscale(pipe, cond, uncond):
         res = run(i)
     dt = (time.time() - t0) / n
     RESULT["secondary"]["mod_x4_noiseinv_img_per_min"] = round(60.0 / dt, 3)
+    vsb("config3", 60.0 / dt, "config3_img_per_min")
     log(f"config 3 steady-state: {dt:.2f}s/image")
 
 
@@ -417,6 +465,8 @@ def bench_8k_vae(pipe):
     del outd, z
     RESULT["secondary"]["tiled_vae_encode_8192sq_mpix_s"] = round(enc, 2)
     RESULT["secondary"]["tiled_vae_decode_8192sq_mpix_s"] = round(dec, 2)
+    vsb("8k_encode", enc, "vae8k_encode_mpix_s")
+    vsb("8k_decode", dec, "vae8k_decode_mpix_s")
     RESULT["secondary"]["hbm_peak_after_8k_vae_gb"] = _hbm_peak_gb()
     RESULT["secondary"]["hbm_analytic_8k_encode_gb"] = _analytic_hbm_gb(
         "encoder", tv.encoder_tile_size, SIZE, SIZE, 1, tv.tile_batch)
@@ -476,6 +526,7 @@ def bench_8k_upscale(pipe, cond, uncond):
     out = run(1)
     dt = time.time() - t0
     RESULT["secondary"]["upscale_2k_to_8k_img_per_min"] = round(60.0 / dt, 3)
+    vsb("upscale_2k_to_8k", 60.0 / dt, "upscale_2k_to_8k_img_per_min")
     RESULT["secondary"]["upscale_2k_to_8k_mpix_s"] = round(SIZE * SIZE / 1e6 / dt, 2)
     RESULT["secondary"]["hbm_peak_after_8k_upscale_gb"] = _hbm_peak_gb()
     log(f"8k upscale steady-state: {dt:.1f}s/image = {60/dt:.3f} img/min, "
@@ -483,11 +534,12 @@ def bench_8k_upscale(pipe, cond, uncond):
 
 
 def _bench_deepcache() -> int:
-    """DeepCache interval for the diffusion phases (1 = off).  Default 2:
-    round-4 on-chip A/B (scripts/ab_bench.py --deepcache) measured 24.65 vs
-    19.94 img/min on config 2 at 1.2% mean pixel drift; interval 3 gained
+    """DeepCache interval for the extra accelerated config-2 measurement
+    (1 = off, the default: headline numbers are reference-semantics exact).
+    Round-4 on-chip A/B (scripts/ab_bench.py --deepcache): interval 2 gave
+    24.65 vs 19.94 img/min at 1.2% mean pixel drift; interval 3 gained
     little more (26.72) for 1.8% drift."""
-    return int(os.environ.get("MDU_BENCH_DEEPCACHE", "2"))
+    return int(os.environ.get("MDU_BENCH_DEEPCACHE", "1"))
 
 
 def bench_regional(pipe, cond, uncond):
@@ -520,6 +572,7 @@ def bench_regional(pipe, cond, uncond):
         res = run(i)                  # txt2img returns a synced np image
     dt = (time.time() - t0) / n
     RESULT["secondary"]["regional_4x_1536sq_img_per_min"] = round(60.0 / dt, 3)
+    vsb("config4", 60.0 / dt, "config4_img_per_min")
     log(f"config 4 steady-state: {dt:.2f}s/image")
 
 
@@ -571,7 +624,8 @@ def bench_sdxl_demofusion(sd15_pipe, cond_unused, uncond_unused):
     c5bs = int(os.environ.get("MDU_BENCH_C5_TILE_BS", "2"))
     # scan_windows: the unrolled scale-3 program fails AOT compilation on a
     # 16 GiB chip (17.4G vs 15.75G, 31% fragmentation); the scan form keeps
-    # ONE UNet body in the HLO (bitwise-parity-tested vs unrolled)
+    # ONE UNet body in the HLO (parity-tested to 1e-5 vs unrolled —
+    # tests/test_demofusion_scan.py)
     cfg = DemoFusionConfig(window_size=128, overlap=64, scale_factor=3,
                            tile_bs=c5bs, tile_bs_g=c5bs, scan_windows=True)
     tv = TiledVAEConfig(decoder_tile_size=96, fast_decoder=False, fast_encoder=False)
@@ -603,11 +657,13 @@ def bench_sdxl_demofusion(sd15_pipe, cond_unused, uncond_unused):
         res = pipe.demofusion(cond, uncond, 1024, 1024, cfg, sp, seed=i,
                               tiled_vae=tv, decode=False)
         np.asarray(res.latents)
-    RESULT["secondary"]["sdxl_demofusion_x3_s_per_image"] = round(
-        (time.time() - t0) / n, 2)
+    dt = (time.time() - t0) / n
+    RESULT["secondary"]["sdxl_demofusion_x3_s_per_image"] = round(dt, 2)
+    vsb("config5", 60.0 / dt, "config5_img_per_min")
 
 
 def main():
+    install_signal_handlers()
     wait_for_device()
     log(f"bench device: {jax.devices()[0]}")
     try:
@@ -630,15 +686,17 @@ def main():
                lambda: bench_mod_upscale(pipe, cond, uncond)),
               ("config4-regional", 250,
                lambda: bench_regional(pipe, cond, uncond)),
-              # config 5 before the 8K upscale: it is the cheaper of the two
-              # expensive tails (~500-800 s warm vs ~970 s), so under a tight
-              # outer window the greedy order lands more complete phases.
+              # 8K upscale before config 5: the 2K->8K steady img/min is THE
+              # BASELINE.md headline metric and config 5 already has banked
+              # steady numbers (BENCH_r04) — two rounds in a row the driver
+              # window expired during whichever of the two ran last, so the
+              # named metric wins the slot (VERDICT r4 #1).
               # NOTE config 5 evicts the SD1.5 stack (release_pipeline) —
               # every phase that needs `pipe` must run before it.
-              ("config5-sdxl-demofusion", 1100,
-               lambda: bench_sdxl_demofusion(pipe, cond, uncond)),
               ("config8k-upscale", 700,
-               lambda: bench_8k_upscale(pipe, cond, uncond))]
+               lambda: bench_8k_upscale(pipe, cond, uncond)),
+              ("config5-sdxl-demofusion", 1100,
+               lambda: bench_sdxl_demofusion(pipe, cond, uncond))]
     only = os.environ.get("MDU_BENCH_CONFIGS")      # e.g. "2" or "1,2,8k"
     for name, min_budget, fn in phases:
         if only and name.split("-")[0].lstrip("config") not in only.split(","):

@@ -47,8 +47,9 @@ class TiledDiffusionConfig:
     noise_inverse_retouch: float = 1.0
     noise_inverse_renoise_strength: float = 1.0
     noise_inverse_renoise_kernel: int = 64
-    # ControlNet hint tiling
-    control_tensor_cpu: bool = False
+    # (the reference's control_tensor_cpu knob has no analogue here: hints
+    # stay device-resident as uint8 canvases — 8x smaller than its fp32
+    # CPU-offload target — see tiling/conds.py quantize_control_hints)
     # Bitwise topology invariance (beyond the reference, BASELINE.md north
     # star): pad every tile UNet batch to a uniform tile_bs so the compiled
     # program shape is identical on 1 device and on any mesh — outputs become
@@ -115,7 +116,9 @@ class DemoFusionConfig:
     # batch is padded with a duplicated, zero-weighted window.  Unrolled
     # scale-3 SDXL programs fail TPU AOT compilation on 16 GiB chips (17.4G
     # needed, 31% HLO-temp fragmentation); scan keeps one body's footprint.
-    # None = env MDU_DF_SCAN=1, else unrolled (the proven default).
+    # None = auto (tiling/demofusion.py::_resolve_df_scan): scan whenever a
+    # phase inlines >= MDU_TILE_SCAN_THRESHOLD (default 8) window+global
+    # batches, or when env MDU_DF_SCAN=1 forces it; unrolled otherwise.
     scan_windows: Optional[bool] = None
 
 
