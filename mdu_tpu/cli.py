@@ -90,6 +90,28 @@ def _add_common(p: argparse.ArgumentParser):
                    help="compress stream-host inter-segment spills, e.g. "
                         "float8_e4m3fn (halves host<->device traffic; "
                         "slightly lossy)")
+    # ControlNet + StableSR-style guidance (the reference's flagship
+    # ControlNet-tile upscaling workflow, ref abstractdiffusion.py:454-544,
+    # and the StableSR adapter, :547-588 — here first-class model slots)
+    p.add_argument("--controlnet",
+                   help="ControlNet checkpoint: diffusers-layout folder or a "
+                        ".safetensors with diffusers keys")
+    p.add_argument("--control-image",
+                   help="hint image for --controlnet; resized to the "
+                        "generation canvas (img2img default: the init image "
+                        "— the ControlNet 'tile' upscaling workflow)")
+    p.add_argument("--control-weight", type=float, default=1.0,
+                   help="ControlNet conditioning scale")
+    p.add_argument("--guidance-model",
+                   help="StableSR-style structure-guidance encoder weights "
+                        "(.safetensors in mdu_tpu flat layout; see "
+                        "scripts/export_params.py)")
+    p.add_argument("--guidance-image",
+                   help="low-res guidance image for --guidance-model, "
+                        "encoded to the latent 'guidance' leaf (img2img "
+                        "default: the init image)")
+    p.add_argument("--guidance-strength", type=float, default=1.0,
+                   help="guidance residual scale")
     # region prompt control
     p.add_argument("--regions", help="region-config JSON file "
                    "(ref region_configs/ format), or a generated .png to "
@@ -126,6 +148,22 @@ def _load(args):
         pipe.mesh = make_tile_mesh(n) if n > 1 else None
         if pipe.mesh is not None:
             print(f"sharding grid tiles over {n} devices", file=sys.stderr)
+    if getattr(args, "controlnet", None):
+        from .models.loader import load_controlnet
+
+        pipe.controlnet, pipe.controlnet_params = load_controlnet(
+            args.controlnet, pipe.unet.cfg, dtype=dtype,
+            conditioning_scale=args.control_weight)
+        print(f"loaded ControlNet from {args.controlnet} "
+              f"(weight {args.control_weight})", file=sys.stderr)
+    if getattr(args, "guidance_model", None):
+        from .models.loader import load_guidance
+
+        pipe.guidance_model, pipe.guidance_params = load_guidance(
+            args.guidance_model, pipe.unet.cfg, dtype=dtype,
+            guidance_scale=args.guidance_strength)
+        print(f"loaded guidance encoder from {args.guidance_model} "
+              f"(strength {args.guidance_strength})", file=sys.stderr)
     if getattr(args, "esrgan", None):
         from .models.esrgan import register_esrgan_upscaler
 
@@ -237,6 +275,61 @@ def _region_conds(conditioner, regions, args, steps):
     return out
 
 
+def _attach_adapter_conds(args, pipe, cond, uncond, region_conds, tv,
+                          init_path=None):
+    """Attach the ControlNet hint / StableSR-style guidance canvases to
+    every cond that denoises (main pair + regions).  Canvas-shaped leaves
+    are sliced per tile / region bbox by tiling/conds.py, and the pipeline
+    resizes them to the generation canvas (fit_cond_canvases), so any hint
+    image size works.  img2img defaults both images to the init image —
+    the reference's ControlNet-tile / StableSR upscaling workflows
+    (ref abstractdiffusion.py:454-588)."""
+    hint = None
+    if pipe.controlnet is not None:
+        src = getattr(args, "control_image", None) or init_path
+        if src is None:
+            raise SystemExit("--controlnet needs --control-image "
+                             "(txt2img has no init image to default to)")
+        from PIL import Image
+
+        from .utils.image import hint_to_tensor
+
+        hint = hint_to_tensor(np.asarray(Image.open(src).convert("RGB")))
+        print(f"ControlNet hint: {src}", file=sys.stderr)
+    g = None
+    if pipe.guidance_model is not None:
+        src = getattr(args, "guidance_image", None) or init_path
+        if src is None:
+            raise SystemExit("--guidance-model needs --guidance-image "
+                             "(txt2img has no init image to default to)")
+        from PIL import Image
+
+        from .utils.image import image_to_tensor
+
+        x = image_to_tensor(np.asarray(Image.open(src).convert("RGB")))
+        # distribution mode of the encoded guidance image, latent-canvas
+        # shaped (the StableSR latent_image analogue,
+        # ref abstractdiffusion.py:559-571)
+        moments = pipe._encode(x, tv)
+        g = moments[:, : moments.shape[1] // 2] * pipe.vae.cfg.scaling_factor
+        print(f"guidance latent from: {src}", file=sys.stderr)
+    if hint is None and g is None:
+        return cond, uncond, region_conds
+
+    def att(c):
+        if c is None:
+            return None
+        out = dict(c)
+        if hint is not None:
+            out["control"] = [hint]
+        if g is not None:
+            out["guidance"] = g
+        return out
+
+    return att(cond), att(uncond), [(att(rc), att(ru))
+                                    for rc, ru in region_conds]
+
+
 def _apply_prompt_networks(pipe, args, regions=()):
     """Merge `<lora:name:weight>` extra-network tags found in the prompts
     (A1111 syntax; the reference consumes them via extra_networks — ref
@@ -334,6 +427,16 @@ def _with_prompt(args, info: dict) -> dict:
     cond pytrees, so the CLI (which owns the strings) prepends them."""
     out = {"Prompt": args.prompt, "Negative prompt": args.negative}
     out.update(info)
+    if getattr(args, "controlnet", None):
+        out["ControlNet"] = {"model": args.controlnet,
+                             "weight": args.control_weight,
+                             "image": getattr(args, "control_image", None)
+                             or getattr(args, "init", None)}
+    if getattr(args, "guidance_model", None):
+        out["Guidance"] = {"model": args.guidance_model,
+                           "strength": args.guidance_strength,
+                           "image": getattr(args, "guidance_image", None)
+                           or getattr(args, "init", None)}
     if getattr(args, "_pipe", None) is not None and args._pipe.interrupted:
         out["Interrupted"] = True
     return out
@@ -358,6 +461,7 @@ def cmd_txt2img(args):
     td, tv, sp, regions = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
     rc = _region_conds(conditioner, regions, args, sp.steps)
+    cond, uncond, rc = _attach_adapter_conds(args, pipe, cond, uncond, rc, tv)
     args._pipe = pipe
     _graceful_interrupt(pipe)
     _apply_prompt_networks(pipe, args, regions)
@@ -378,6 +482,8 @@ def cmd_img2img(args):
     td, tv, sp, regions = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
     rc = _region_conds(conditioner, regions, args, sp.steps)
+    cond, uncond, rc = _attach_adapter_conds(args, pipe, cond, uncond, rc, tv,
+                                             init_path=args.init)
     args._pipe = pipe
     _graceful_interrupt(pipe)
     _apply_prompt_networks(pipe, args, regions)
@@ -409,6 +515,8 @@ def cmd_demofusion(args):
     pipe, conditioner = _load(args)
     _, tv, sp, _ = _configs(args)
     cond, uncond = conditioner.pair(args.prompt, args.negative, sp.steps)
+    cond, uncond, _ = _attach_adapter_conds(args, pipe, cond, uncond, [], tv,
+                                            init_path=args.init)
     args._pipe = pipe
     _graceful_interrupt(pipe)
     _apply_prompt_networks(pipe, args)

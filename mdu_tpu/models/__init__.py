@@ -5,6 +5,8 @@ from .esrgan import RRDBNet, RRDBNetConfig, load_esrgan, register_esrgan_upscale
 from .init_utils import random_params
 from .loader import (
     convert_params,
+    load_controlnet,
+    load_guidance,
     load_pipeline,
     load_safetensors,
     translate_clip_name,
@@ -35,7 +37,8 @@ from .vae import AutoencoderKL, Decoder, Encoder, VAEConfig, sample_from_moments
 __all__ = [
     "random_params", "ControlNet", "StableSRGuidance", "combine_residuals",
     "RRDBNet", "RRDBNetConfig", "load_esrgan", "register_esrgan_upscaler",
-    "convert_params", "load_pipeline", "load_safetensors", "load_single_file",
+    "convert_params", "load_controlnet", "load_guidance",
+    "load_pipeline", "load_safetensors", "load_single_file",
     "translate_clip_name", "translate_controlnet_name", "translate_unet_name",
     "translate_vae_name",
     "CLIPTextConfig", "CLIPTextModel", "clip_l_config", "open_clip_bigg_config",

@@ -414,3 +414,67 @@ def load_pipeline(model_dir: str, dtype=jnp.float32, schedule=None):
         conditioner = SDXLConditioner(
             conditioner, TextConditioner(clip2, clip2_params, tok2))
     return pipe, conditioner
+
+
+def load_controlnet(path: str, unet_cfg=None, dtype=jnp.float32,
+                    conditioning_scale: float = 1.0):
+    """Load a ControlNet checkpoint -> (ControlNet module, params).
+
+    ``path`` is a diffusers-layout folder (config.json +
+    diffusion_pytorch_model.safetensors) or a bare .safetensors file with
+    diffusers keys.  When the folder carries a config.json its architecture
+    wins; otherwise ``unet_cfg`` (the paired UNet's config) is used, SD-1.5
+    if neither.  The reference reaches ControlNet through the A1111
+    extension's hooks (ref tile_methods/abstractdiffusion.py:454-544);
+    here the model is owned (models/controlnet.py) and this loader
+    translates the public checkpoint layout onto it.
+    """
+    import jax
+
+    from .controlnet import ControlNet
+    from .unet import sd15_unet_config
+
+    if os.path.isdir(path):
+        cfg_json = _read_json(os.path.join(path, "config.json"))
+        state = load_safetensors(
+            os.path.join(path, "diffusion_pytorch_model.safetensors"))
+        cfg = _unet_config_from_json(cfg_json) if cfg_json else (
+            unet_cfg or sd15_unet_config())
+    else:
+        state = load_safetensors(path)
+        cfg = unet_cfg or sd15_unet_config()
+    cn = ControlNet(cfg, conditioning_scale=conditioning_scale, dtype=dtype)
+    added = None
+    if cfg.addition_embed_type == "text_time":
+        added = {"text_embeds": jnp.zeros((1, cfg.addition_pooled_dim)),
+                 "time_ids": jnp.ones((1, cfg.num_time_ids))}
+    shapes = jax.eval_shape(lambda: cn.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.in_channels, 8, 8)),
+        jnp.zeros((1,)), jnp.zeros((1, 77, cfg.cross_attention_dim)),
+        jnp.zeros((1, 3, 64, 64)), added))
+    params = convert_params(shapes, state, translate_controlnet_name)
+    return cn, params
+
+
+def load_guidance(path: str, unet_cfg, dtype=jnp.float32,
+                  guidance_scale: float = 1.0):
+    """Load StableSR-style structure-guidance encoder weights ->
+    (StableSRGuidance module, params).
+
+    ``path`` is a .safetensors keyed by this framework's flat flax paths
+    (e.g. ``down_0_res_0/norm1/scale``) — the guidance encoder is owned
+    (models/stablesr.py replaces the reference's StableSR extension
+    hook-in, ref abstractdiffusion.py:547-588), so its checkpoint layout
+    is ours.  ``scripts/export_params.py`` writes this layout.
+    """
+    import jax
+
+    from .stablesr import StableSRGuidance
+
+    state = load_safetensors(path)
+    gm = StableSRGuidance(unet_cfg, guidance_scale=guidance_scale, dtype=dtype)
+    shapes = jax.eval_shape(lambda: gm.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, unet_cfg.out_channels, 8, 8)), jnp.zeros((1,))))
+    params = convert_params(shapes, state, lambda n: n)
+    return gm, params

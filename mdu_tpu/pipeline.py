@@ -31,8 +31,9 @@ from .samplers.denoiser import cfg_combine, denoised_from_model, scalings
 from .samplers.samplers import (STATIC_SIGMA_SAMPLERS, STOCHASTIC_SAMPLERS,
                                 get_sampler)
 from .samplers.schedule import NoiseSchedule
-from .tiling.conds import (Cond, concat_conds, quantize_control_hints,
-                           tile_cond, tile_cond_stacked)
+from .tiling.conds import (Cond, concat_conds, fit_cond_canvases,
+                           quantize_control_hints, tile_cond,
+                           tile_cond_stacked)
 from .tiling.regions import compose_region_noise, resolve_seed
 from .tiling.schedulers import DiffusionTilePlan, make_tiled_denoiser, plan_tiled_diffusion
 from .tiling.tiled_vae import tiled_vae_decode, tiled_vae_encode_moments
@@ -666,8 +667,8 @@ class DiffusionPipeline:
         sp = self._resolve_sampler(sampler)
         h, w = height // 8, width // 8
         plan = self._plan(tiled_diffusion, h, w)
-        cond = quantize_control_hints(cond)
-        uncond = quantize_control_hints(uncond)
+        cond = quantize_control_hints(fit_cond_canvases(cond, (h, w)))
+        uncond = quantize_control_hints(fit_cond_canvases(uncond, (h, w)))
         region_conds = [(quantize_control_hints(rc), quantize_control_hints(ru))
                         for rc, ru in region_conds]
 
@@ -838,8 +839,8 @@ class DiffusionPipeline:
                     uncond = {**uncond, "concat": icond}
 
         plan = self._plan(td, h, w)
-        cond = quantize_control_hints(cond)
-        uncond = quantize_control_hints(uncond)
+        cond = quantize_control_hints(fit_cond_canvases(cond, (h, w)))
+        uncond = quantize_control_hints(fit_cond_canvases(uncond, (h, w)))
         region_conds = [(quantize_control_hints(rc), quantize_control_hints(ru))
                         for rc, ru in region_conds]
         noise = jax.random.normal(key, init_latent.shape, jnp.float32)
@@ -1297,6 +1298,10 @@ class DiffusionPipeline:
         from .config import DemoFusionConfig
         from .tiling.demofusion import demofusion_generate
 
+        # normalize canvas-shaped guidance leaves to the BASE canvas; the
+        # DemoFusion phases rescale them per scale/view themselves
+        cond = fit_cond_canvases(cond, (height // 8, width // 8))
+        uncond = fit_cond_canvases(uncond, (height // 8, width // 8))
         return demofusion_generate(self, cond, uncond, width, height,
                                    cfg or DemoFusionConfig(), sampler, seed,
                                    init_latent, tiled_vae, decode)

@@ -84,6 +84,50 @@ def dequantize_hint(h: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     return h.astype(dtype)
 
 
+def fit_cond_canvases(cond: Optional[Cond],
+                      latent_hw: Tuple[int, int]) -> Optional[Cond]:
+    """Resize canvas-shaped guidance leaves to the generation canvas.
+
+    'control' hints are brought to the pixel canvas (h*8, w*8) and
+    'guidance' latents to the latent canvas (h, w); leaves already at
+    canvas size pass through untouched.  This is what makes user-supplied
+    hint images of arbitrary size work: _slice_leaf only recognizes a leaf
+    as canvas-shaped when it matches exactly — a mismatched hint would
+    silently broadcast as a per-tile repeat instead of being cropped per
+    tile.  The reference delegates this resize to the external ControlNet
+    extension (ref tile_methods/abstractdiffusion.py:471-478 builds hints
+    at the generation size); here the pipeline normalizes at entry.
+    """
+    if cond is None:
+        return None
+    from ..ops.resize import resize_nchw
+
+    h, w = latent_hw
+    f = LATENT_TO_PIXEL
+
+    def fit(leaf, target):
+        if leaf.ndim != 4 or leaf.shape[2:] == target:
+            return leaf
+        x = dequantize_hint(leaf) if leaf.dtype == jnp.uint8 else leaf
+        return resize_nchw(x, target, "linear")
+
+    def walk(c):
+        if c is None or callable(c):
+            return c
+        if isinstance(c, dict) and "__and__" in c:
+            return {**c, "__and__": [walk(p) for p in c["__and__"]]}
+        if not isinstance(c, dict):
+            return c
+        out = c
+        if c.get("control"):
+            out = {**out, "control": [fit(x, (h * f, w * f)) for x in c["control"]]}
+        if c.get("guidance") is not None:
+            out = {**out, "guidance": fit(c["guidance"], (h, w))}
+        return out
+
+    return walk(cond)
+
+
 def _slice_leaf(leaf: jnp.ndarray, bboxes: Sequence[BBox], latent_hw: Tuple[int, int]):
     h, w = latent_hw
     if leaf.ndim == 4 and leaf.shape[2:] == (h, w):

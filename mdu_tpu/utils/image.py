@@ -33,6 +33,16 @@ def image_to_tensor(img_u8: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(x.transpose(2, 0, 1)[None])
 
 
+def hint_to_tensor(img_u8: np.ndarray) -> jnp.ndarray:
+    """uint8 [H,W,3] -> [1,3,H,W] in [0,1] — the ControlNet hint range
+    (tiling/conds.py quantize_control_hints clips to [0,1])."""
+    img = np.asarray(img_u8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    x = img[..., :3].astype(np.float32) / 255.0
+    return jnp.asarray(x.transpose(2, 0, 1)[None])
+
+
 def tensor_to_image(x: jnp.ndarray) -> np.ndarray:
     """[B,3,H,W] in [-1,1] -> uint8 [B,H,W,3]."""
     arr = np.asarray(x, dtype=np.float32)

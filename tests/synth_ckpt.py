@@ -140,6 +140,60 @@ def save_tiny_ldm_checkpoint(path, ucfg, vcfg, ccfg):
     return up
 
 
+def save_tiny_controlnet(path, ucfg, seed=7):
+    """Synthesize a diffusers-keyed ControlNet .safetensors for ``ucfg``.
+
+    The gating (zero-conv) entries get small NONZERO values so the control
+    branch visibly perturbs the UNet output — a fresh zero-init ControlNet
+    is an exact identity (test_loader_controlnet) and would make the CLI
+    path look like a no-op."""
+    import jax.numpy as jnp
+    from flax import traverse_util
+    from safetensors.numpy import save_file
+
+    from mdu_tpu.models import (ControlNet, random_params,
+                                translate_controlnet_name)
+
+    cn = ControlNet(ucfg)
+    cp = random_params(cn, seed, jnp.zeros((1, ucfg.in_channels, 16, 16)),
+                       jnp.zeros((1,)),
+                       jnp.zeros((1, 7, ucfg.cross_attention_dim)),
+                       jnp.zeros((1, 3, 128, 128)))
+    rng = np.random.default_rng(seed)
+    state = {}
+    for name, leaf in traverse_util.flatten_dict(cp["params"], sep="/").items():
+        k = translate_controlnet_name(name)
+        v = np.asarray(leaf)
+        if k.startswith(("controlnet_down_blocks", "controlnet_mid_block")) \
+                or "cond_embedding.conv_out" in k:
+            v = rng.normal(0.0, 0.05, size=v.shape).astype(np.float32)
+        state[k] = v
+    save_file(state, str(path))
+
+
+def save_tiny_guidance(path, ucfg, seed=9):
+    """Synthesize StableSR-style guidance weights in the mdu_tpu flat
+    layout (models/loader.py::load_guidance), zero convs perturbed so the
+    guidance actually steers."""
+    import jax.numpy as jnp
+    from flax import traverse_util
+    from safetensors.numpy import save_file
+
+    from mdu_tpu.models import StableSRGuidance, random_params
+
+    gm = StableSRGuidance(ucfg)
+    gp = random_params(gm, seed, jnp.zeros((1, ucfg.out_channels, 16, 16)),
+                       jnp.zeros((1,)))
+    rng = np.random.default_rng(seed)
+    state = {}
+    for name, leaf in traverse_util.flatten_dict(gp["params"], sep="/").items():
+        v = np.asarray(leaf)
+        if name.split("/")[0].startswith("zero"):
+            v = rng.normal(0.0, 0.05, size=v.shape).astype(np.float32)
+        state[name] = v
+    save_file(state, str(path))
+
+
 def patch_tiny_configs(monkeypatch, ucfg, vcfg, ccfg):
     """Point the arch-detection config factories at the tiny configs so
     load_single_file builds tiny models for the synthesized checkpoint."""
