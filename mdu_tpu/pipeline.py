@@ -522,6 +522,7 @@ class DiffusionPipeline:
             return self._interruptible(make_tiled_denoiser(
                 plan, tile_denoise_c,
                 region_denoise if plan.regions else None, org_fn,
+                mesh=self.mesh,
                 sharded_tile_denoise=sharded_td_c, tile_conds_fn=conds_fn,
                 stateful=True), stateful=True)
 
@@ -563,6 +564,18 @@ class DiffusionPipeline:
         if plan is None or not plan.draw_background:
             return jnp.zeros(cshape(mult * B, *hw), self.unet.dtype) \
                 if plan is None else ()
+        if self.mesh is not None and len(plan.bboxes) > 0:
+            # mesh-sharded grid: caches ride the 'tiles' shard with their
+            # tiles — one uniform array, device-major chunk order, every
+            # chunk padded to tile_bs (schedulers._make_sharded_grid)
+            n_dev = self.mesh.shape["tiles"]
+            T = len(plan.bboxes)
+            t_local = -(-T // n_dev)
+            n_local = -(-t_local // plan.tile_bs)
+            return jnp.zeros(
+                (n_dev * n_local,) + cshape(mult * plan.tile_bs * B,
+                                            plan.tile_h, plan.tile_w),
+                self.unet.dtype)
         if plan.scan_tiles and len(plan.batched) > 1:
             # lax.scan grid: every chunk is padded to exactly tile_bs, so the
             # caches stack into one uniform [n_chunks, ...] scan input

@@ -145,6 +145,28 @@ def _map_cond(c, leaf_fn):
     return jax.tree.map(leaf_fn, c)
 
 
+def _map_cond_strip(c, leaf_fn):
+    """tree-map that DROPS AND ``__weights__`` (static floats) — shard_map
+    in_specs trees must be arrays-only; the shard body re-attaches them
+    (same contract as conds.py::tile_cond_stacked)."""
+    if c is None:
+        return None
+    if isinstance(c, dict) and "__and__" in c:
+        return {"__and__": [_map_cond_strip(p, leaf_fn) for p in c["__and__"]]}
+    return jax.tree.map(leaf_fn, c)
+
+
+def _and_weights(c):
+    return (c["__weights__"] if isinstance(c, dict) and "__and__" in c
+            else None)
+
+
+def _attach_weights(c, w):
+    if c is not None and w is not None and isinstance(c, dict) and "__and__" in c:
+        return {**c, "__weights__": w}
+    return c
+
+
 def _pad_spatial(c, jr: int, hw: Tuple[int, int]):
     """Pad canvas-shaped cond leaves like the latent canvas is padded."""
     if jr == 0:
@@ -187,6 +209,60 @@ def _window_cond(c_pad, offs, tile: int, hw: Tuple[int, int], jr: int):
         return jnp.concatenate([leaf] * K, axis=0)
 
     return _map_cond(c_pad, slice_leaf)
+
+
+def _window_cond_stacked(c_pad, offs_list, tile: int, hw: Tuple[int, int],
+                         jr: int):
+    """Per-window cond with an explicit leading window axis ``[K, B, ...]``
+    and *traced* (y, x) offsets — the form the mesh path shards over the
+    'tiles' axis (AND ``__weights__`` stripped; re-attached in the body)."""
+    if c_pad is None:
+        return None
+    H, W = hw
+    f = LATENT_TO_PIXEL
+    K = len(offs_list)
+
+    def slice_leaf(leaf):
+        if leaf.ndim == 4 and leaf.shape[2:] == (H + 2 * jr, W + 2 * jr):
+            return jnp.stack([
+                jax.lax.dynamic_slice(
+                    leaf, (0, 0, oy, ox),
+                    (leaf.shape[0], leaf.shape[1], tile, tile))
+                for oy, ox in offs_list])
+        if leaf.ndim == 4 and leaf.shape[2:] == ((H + 2 * jr) * f, (W + 2 * jr) * f):
+            return jnp.stack([
+                jax.lax.dynamic_slice(
+                    leaf, (0, 0, oy * f, ox * f),
+                    (leaf.shape[0], leaf.shape[1], tile * f, tile * f))
+                for oy, ox in offs_list])
+        return jnp.broadcast_to(leaf[None], (K,) + leaf.shape)
+
+    return _map_cond_strip(c_pad, slice_leaf)
+
+
+def _dilated_cond_stacked(c, views, scale: int, hw: Tuple[int, int]):
+    """:func:`_dilated_cond` with a leading view axis ``[K, B, ...]``
+    (static offsets — dilated views never jitter), weights stripped."""
+    if c is None:
+        return None
+    H, W = hw
+    K = len(views)
+    f = LATENT_TO_PIXEL
+
+    def slice_leaf(leaf):
+        if leaf.ndim == 4 and leaf.shape[2:] == (H, W):
+            return jnp.stack(
+                [leaf[:, :, oy::scale, ox::scale] for oy, ox in views])
+        if leaf.ndim == 4 and leaf.shape[2:] == (H * f, W * f):
+            from ..ops.resize import resize_nchw
+            from .conds import dequantize_hint
+
+            small = resize_nchw(dequantize_hint(leaf),
+                                (H // scale * f, W // scale * f), "linear")
+            return jnp.broadcast_to(small[None], (K,) + small.shape)
+        return jnp.broadcast_to(leaf[None], (K,) + leaf.shape)
+
+    return _map_cond_strip(c, slice_leaf)
 
 
 def _resolve_df_scan(cfg, plan=None) -> bool:
@@ -306,6 +382,130 @@ def resize_spatial_conds(c, src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
 # ------------------------------------------------------------- denoiser
 
 
+def _make_sharded_batch_denoise(mesh, guided, bs: int, guided_cached=None):
+    """Shard a stacked ``[K, B, ...]`` tile/view batch over the mesh 'tiles'
+    axis and denoise per shard in uniform ``bs``-sized chunks.
+
+    Same bitwise-determinism design as schedulers._make_sharded_grid: the
+    shard_map returns *denoised tiles* (out_specs sharded) and the caller
+    scatters replicated in window/view order, so fusion order matches the
+    single-device path; psum would regroup float adds topology-dependently.
+    Beyond-reference: the reference has no parallelism at all (SURVEY §2).
+
+    With ``guided_cached``, ``run(..., cache, is_cached)`` threads DeepCache
+    feature caches sharded alongside their views — ``cache`` is one uniform
+    ``[n_dev * n_local_chunks, mult*bs*B, ...]`` array, in/out specs
+    ``P('tiles')``, so every device keeps the cache for exactly its own
+    view shard across steps (view->device assignment is static).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape["tiles"]
+
+    def run(stk, conds, sigma, cw_w, uw_w, cache=None, is_cached=None):
+        K = stk.shape[0]
+        Kp = -(-K // n_dev) * n_dev
+
+        def padK(a):
+            if Kp == K:
+                return a
+            return jnp.concatenate(
+                [a, jnp.repeat(a[-1:], Kp - K, axis=0)], axis=0)
+
+        stk = padK(stk)
+        conds = jax.tree.map(padK, conds)
+        specs = jax.tree.map(lambda _: P("tiles"), conds)
+        k_local = Kp // n_dev
+        B = stk.shape[1]
+        tshape = stk.shape[2:]
+        stateful = cache is not None
+
+        def body(tl, cl, cache_l=None):
+            outs, ncaches = [], []
+            for ci, s0 in enumerate(range(0, k_local, bs)):
+                k = min(k_local, s0 + bs) - s0
+                chunk = tl[s0:s0 + k]
+                cc = jax.tree.map(lambda l, a=s0, b=s0 + k: l[a:b], cl)
+                # uniform chunk shape: one compiled call site (mandatory when
+                # stateful — the stacked cache needs one uniform call shape)
+                if k < bs:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.repeat(chunk[-1:], bs - k, axis=0)], axis=0)
+                    cc = jax.tree.map(
+                        lambda l: jnp.concatenate(
+                            [l, jnp.repeat(l[-1:], bs - k, axis=0)], axis=0), cc)
+                flat = chunk.reshape((bs * B,) + tshape)
+                cflat = jax.tree.map(
+                    lambda l: l.reshape((bs * l.shape[1],) + l.shape[2:]), cc)
+                c = _attach_weights(cflat.get("c"), cw_w)
+                u = _attach_weights(cflat.get("u"), uw_w)
+                if stateful:
+                    out, nc = guided_cached(flat, sigma, c, u,
+                                            cache_l[ci], is_cached)
+                    ncaches.append(nc)
+                else:
+                    out = guided(flat, sigma, c, u)
+                outs.append(out.reshape((bs, B) + tshape)[:k])
+            out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+            if stateful:
+                return out, jnp.stack(ncaches)
+            return out
+
+        if stateful:
+            out, new_cache = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P("tiles"), specs, P("tiles")),
+                out_specs=(P("tiles"), P("tiles")))(stk, conds, cache)
+            return out[:K], new_cache
+
+        out = jax.shard_map(body, mesh=mesh,
+                            in_specs=(P("tiles"), specs),
+                            out_specs=P("tiles"))(stk, conds)
+        return out[:K]
+
+    return run
+
+
+def demofusion_deepcache_aux(pipe, plan: DemoFusionPhasePlan,
+                             cfg: DemoFusionConfig, uncond_is_none: bool,
+                             cfg_scale: float, n_and: int, branch: int,
+                             B: int):
+    """Zero-init DeepCache feature caches for the *global dilated-view* leg
+    (the jitter-free one — see make_demofusion_denoiser).  Shape layout must
+    mirror the path the denoiser engages: mesh-sharded / lax.scan xs /
+    unrolled tuple.  Step 0 always runs the full model, so zeros are never
+    consumed (same contract as pipeline._deepcache_aux)."""
+    mult = (n_and + 1) if n_and else (1 if (uncond_is_none or cfg_scale == 1.0)
+                                      else 2)
+    ch = pipe.unet.cfg.block_out_channels[branch]
+    down = 2 ** (branch - 1)
+    nhwc = pipe.unet.layout == "NHWC"
+    hs, ws = plan.h // plan.scale, plan.w // plan.scale
+    if hs % down or ws % down:
+        raise ValueError(
+            f"deepcache_branch={branch} needs dilated-view dims divisible "
+            f"by {down}, got {hs}x{ws}")
+    sh, sw = hs // down, ws // down
+
+    def cshape(n):
+        return (n, sh, sw, ch) if nhwc else (n, ch, sh, sw)
+
+    mesh = pipe.mesh
+    if mesh is not None and "tiles" in getattr(mesh, "shape", {}):
+        n_dev = mesh.shape["tiles"]
+        K = len(plan.global_offsets)
+        k_local = -(-K // n_dev)
+        n_local = -(-k_local // cfg.tile_bs_g)
+        return jnp.zeros((n_dev * n_local,)
+                         + cshape(mult * cfg.tile_bs_g * B), pipe.unet.dtype)
+    if _resolve_df_scan(cfg, plan) and len(plan.global_batches) > 1:
+        gbs = max(len(b) for b in plan.global_batches)
+        return jnp.zeros((len(plan.global_batches),)
+                         + cshape(mult * gbs * B), pipe.unet.dtype)
+    return tuple(jnp.zeros(cshape(mult * len(b) * B), pipe.unet.dtype)
+                 for b in plan.global_batches)
+
+
 def make_demofusion_denoiser(
     plan: DemoFusionPhasePlan,
     cfg: DemoFusionConfig,
@@ -316,12 +516,31 @@ def make_demofusion_denoiser(
     noise: jnp.ndarray,
     t_enc: int,
     jitter: jnp.ndarray,                # [n_windows, 2] traced offsets
+    mesh=None,
+    guided_cached=None,
+    deepcache: int = 1,
 ):
     """denoised_fn(x, sigma, step) for one DemoFusion phase.
 
     ``guided(x, sigma, c, u)`` is the pipeline's CFG'd denoiser
     (DiffusionPipeline._make_guided); ``cond``/``uncond`` may be plain
     pytrees, scheduled banks, or AND compositions.
+
+    With ``mesh`` (a 'tiles'-axis mesh), window and dilated-view batches
+    shard over the devices: tiles are gathered replicated (jitter offsets
+    are traced), denoised per shard, and fused replicated in window/view
+    order — the same deterministic-fusion layout as the tiled grid
+    (parallel/sharded.py).  The reference runs everything on one GPU
+    (ref tileglobal.py:274-362); this is the v5e-8 scale-out path.
+
+    With ``deepcache > 1`` (and ``guided_cached``), the *global dilated
+    views* run DeepCache and the returned fn is stateful:
+    ``denoised_fn(x, sigma, step, aux) -> (out, aux)`` with ``aux`` the
+    per-view-batch feature caches (``demofusion_deepcache_aux`` builds the
+    zeros).  Only the global leg caches: its view geometry is static across
+    steps, while the local windows re-jitter every step, so their cached
+    deep features would belong to different crops (the reason deepcache was
+    previously rejected here wholesale — the jitter-free leg is safe).
     """
     from ..pipeline import DiffusionPipeline
 
@@ -333,10 +552,19 @@ def make_demofusion_denoiser(
     uncond_f = DiffusionPipeline._as_cond_fn(uncond) if uncond is not None else None
     # padded-coord window bases; the traced jitter is added per step
     bases = np.array([[b.y + jr, b.x + jr] for b in plan.windows], np.int32)
-    scan_windows = _resolve_df_scan(cfg, plan)
+    use_mesh = mesh is not None and "tiles" in getattr(mesh, "shape", {})
+    scan_windows = (not use_mesh) and _resolve_df_scan(cfg, plan)
+    use_cache = deepcache > 1 and guided_cached is not None
+    win_denoise = glob_denoise = None
+    if use_mesh:
+        win_denoise = _make_sharded_batch_denoise(mesh, guided, cfg.tile_bs)
+        glob_denoise = _make_sharded_batch_denoise(mesh, guided, cfg.tile_bs_g,
+                                                   guided_cached)
 
-    def denoised_fn(x, sigma, step):
+    def denoised_body(x, sigma, step, aux=None):
         B, C, H, W = x.shape
+        is_cached = ((step % deepcache) != 0) if use_cache else None
+        new_aux = None
         cosf = 0.5 * (1.0 + jnp.cos(jnp.pi * (step.astype(jnp.float32) + 1.0) / (t_enc + 1.0)))
         c1 = cosf ** cfg.cosine_scale_1
         x_noisy = lat0 + noise * sigma
@@ -354,7 +582,22 @@ def make_demofusion_denoiser(
         buf = jnp.zeros_like(xp)
         cnt = jnp.zeros((1, 1, H + 2 * jr, W + 2 * jr), jnp.float32)
         one = jnp.ones((1, 1, tile, tile), jnp.float32)
-        if scan_windows and len(plan.window_batches) > 1:
+        if use_mesh:
+            nw = len(plan.windows)
+            offs_list = [(offs[i, 0], offs[i, 1]) for i in range(nw)]
+            tiles = jnp.stack([
+                jax.lax.dynamic_slice(xp, (0, 0, oy, ox), (B, C, tile, tile))
+                for oy, ox in offs_list])
+            conds = {"c": _window_cond_stacked(c_padded, offs_list, tile, hw, jr),
+                     "u": _window_cond_stacked(u_padded, offs_list, tile, hw, jr)}
+            out = win_denoise(tiles, conds, sigma,
+                              _and_weights(c_step), _and_weights(u_step))
+            for k, (oy, ox) in enumerate(offs_list):
+                cur = jax.lax.dynamic_slice(buf, (0, 0, oy, ox), (B, C, tile, tile))
+                buf = jax.lax.dynamic_update_slice(buf, cur + out[k], (0, 0, oy, ox))
+                cc = jax.lax.dynamic_slice(cnt, (0, 0, oy, ox), (1, 1, tile, tile))
+                cnt = jax.lax.dynamic_update_slice(cnt, cc + one, (0, 0, oy, ox))
+        elif scan_windows and len(plan.window_batches) > 1:
             # ONE UNet body in the HLO: scan over uniform window batches
             # (tail padded with a duplicated, zero-weighted window).  The
             # unrolled scale-3 SDXL program fails AOT compilation on 16 GiB
@@ -415,7 +658,26 @@ def make_demofusion_denoiser(
 
         n_total = len(plan.global_offsets)
         x_global = jnp.zeros_like(x)
-        if scan_windows and len(plan.global_batches) > 1:
+        if use_mesh:
+            views = []
+            for i, (oy, ox) in enumerate(plan.global_offsets):
+                # mixture: first half of the doubled offset list unblurred
+                # (ref :283-304)
+                src = x if (cfg.mixture and i < n_total // 2) else xg
+                views.append(src[:, :, oy::s, ox::s])
+            gv = jnp.stack(views)
+            conds = {"c": _dilated_cond_stacked(c_step, plan.global_offsets, s, hw),
+                     "u": _dilated_cond_stacked(u_step, plan.global_offsets, s, hw)}
+            if use_cache:
+                out, new_aux = glob_denoise(
+                    gv, conds, sigma, _and_weights(c_step),
+                    _and_weights(u_step), aux, is_cached)
+            else:
+                out = glob_denoise(gv, conds, sigma,
+                                   _and_weights(c_step), _and_weights(u_step))
+            for i, (oy, ox) in enumerate(plan.global_offsets):
+                x_global = x_global.at[:, :, oy::s, ox::s].add(out[i])
+        elif scan_windows and len(plan.global_batches) > 1:
             # scan over dilated-view batches: strided ``oy::s`` views become
             # reshape-and-take (traced offsets can't stride-slice), and the
             # scatter-back is a dynamic-index .add on the reshaped canvas
@@ -441,7 +703,10 @@ def make_demofusion_denoiser(
             xga_r = x_global.reshape(B, C, Hs, s, Ws, s)
 
             def glob_body(xga_r, inp):
-                oys, oxs, wk, pl = inp
+                if use_cache:
+                    oys, oxs, wk, pl, cache_k = inp
+                else:
+                    oys, oxs, wk, pl = inp
                 views = []
                 for k in range(gbs):
                     vg = jnp.take(jnp.take(xgr, oys[k], axis=3), oxs[k], axis=4)
@@ -452,20 +717,30 @@ def make_demofusion_denoiser(
                 flat = jnp.concatenate(views, axis=0)
                 cg = _dilated_cond_dyn(c_step, oys, oxs, gbs, s, hw)
                 ug = _dilated_cond_dyn(u_step, oys, oxs, gbs, s, hw)
-                out = guided(flat, sigma, cg, ug)
+                if use_cache:
+                    # cache rides the scan xs/ys: batch k's cache is consumed
+                    # and re-emitted at the same position every step
+                    out, ncache = guided_cached(flat, sigma, cg, ug,
+                                                cache_k, is_cached)
+                else:
+                    out, ncache = guided(flat, sigma, cg, ug), None
                 out = out.reshape(gbs, B, C, Hs, Ws)
                 for k in range(gbs):
                     xga_r = xga_r.at[:, :, :, oys[k], :, oxs[k]].add(out[k] * wk[k])
-                return xga_r, None
+                return xga_r, ncache
 
-            xga_r, _ = jax.lax.scan(
-                glob_body, xga_r,
-                (jnp.asarray(goy), jnp.asarray(gox),
-                 jnp.asarray(gwm), jnp.asarray(gpl)))
+            xs = (jnp.asarray(goy), jnp.asarray(gox),
+                  jnp.asarray(gwm), jnp.asarray(gpl))
+            if use_cache:
+                xs = xs + (aux,)
+            xga_r, ys = jax.lax.scan(glob_body, xga_r, xs)
+            if use_cache:
+                new_aux = ys
             x_global = xga_r.reshape(B, C, H, W)
         else:
             seen = 0
-            for batch in plan.global_batches:
+            ncaches = []
+            for bi, batch in enumerate(plan.global_batches):
                 views = []
                 for idx_in_batch, (oy, ox) in enumerate(batch):
                     # mixture mode: first half of the doubled offset list uses the
@@ -476,16 +751,30 @@ def make_demofusion_denoiser(
                 flat = jnp.concatenate(views, axis=0)
                 cg = _dilated_cond(c_step, batch, s, hw)
                 ug = _dilated_cond(u_step, batch, s, hw)
-                out = guided(flat, sigma, cg, ug)
+                if use_cache:
+                    out, nc = guided_cached(flat, sigma, cg, ug,
+                                            aux[bi], is_cached)
+                    ncaches.append(nc)
+                else:
+                    out = guided(flat, sigma, cg, ug)
                 out = out.reshape(len(batch), B, C, out.shape[-2], out.shape[-1])
                 for k, (oy, ox) in enumerate(batch):
                     x_global = x_global.at[:, :, oy::s, ox::s].add(out[k])
                 seen += len(batch)
+            if use_cache:
+                new_aux = tuple(ncaches)
         if cfg.mixture:
             x_global = x_global / 2.0
 
         c2 = cosf ** cfg.cosine_scale_2
-        return x_local * (1.0 - c2) + x_global * c2
+        out = x_local * (1.0 - c2) + x_global * c2
+        return (out, new_aux) if use_cache else out
+
+    if use_cache:
+        return denoised_body          # stateful: (x, sigma, step, aux)
+
+    def denoised_fn(x, sigma, step):
+        return denoised_body(x, sigma, step)
 
     return denoised_fn
 
@@ -517,14 +806,15 @@ def demofusion_generate(
 
     sp = sampler or SamplerConfig()
     if sp.deepcache > 1:
-        # DemoFusion's window jitter re-randomizes tile geometry every step,
-        # so cached deep features would not correspond to the same windows
-        import dataclasses as _dc
+        # DeepCache runs on the *global dilated-view* leg only: its view
+        # geometry is static across steps.  The local windows re-jitter
+        # every step, so their cached deep features would belong to
+        # different crops — they always run the full model.
         import sys as _sys
 
-        print("[DemoFusion] DeepCache is not supported here; running the "
-              "full model every step", file=_sys.stderr)
-        sp = _dc.replace(sp, deepcache=1)
+        print("[DemoFusion] DeepCache active on the global dilated views "
+              "only (windows re-jitter every step and stay uncached)",
+              file=_sys.stderr)
     h0, w0 = height // 8, width // 8
     key = jax.random.PRNGKey(seed)
 
@@ -566,7 +856,8 @@ def demofusion_generate(
 
         def builder(plan=plan, t_enc=t_enc, sampler_fn=sampler_fn,
                     sigmas_const=sigmas_const):
-            def run(uparams, cnparams, c, u, sigmas, x, lat0, noise, jitter, skey):
+            def run(uparams, cnparams, c, u, sigmas, x, lat0, noise, jitter,
+                    skey, aux):
                 if sp.name in STATIC_SIGMA_SAMPLERS:
                     # Restart/DPM fast/adaptive do host-side schedule math on
                     # np.asarray(sigmas); bake the schedule in as a constant
@@ -575,37 +866,51 @@ def demofusion_generate(
                 # cnparams as a jit argument: _model_fn would otherwise close
                 # over self.controlnet_params and bake GBs of ControlNet
                 # weights into the HLO as constants (remote-compile killer)
-                guided, _, _ = pipe._make_guided(sp.cfg_scale, uparams, cnparams)
+                stateful = sp.deepcache > 1
+                guided, _, guided_c = pipe._make_guided(
+                    sp.cfg_scale, uparams, cnparams, sp.deepcache_branch)
                 # per-step cooperative interruption, same as the tiled pipeline
                 den_fn = pipe._interruptible(make_demofusion_denoiser(
-                    plan, cfg, guided, c, u, lat0, noise, t_enc, jitter))
+                    plan, cfg, guided, c, u, lat0, noise, t_enc, jitter,
+                    mesh=pipe.mesh,
+                    guided_cached=guided_c if stateful else None,
+                    deepcache=sp.deepcache), stateful=stateful)
+                kw = {"aux": aux} if stateful else {}
                 if sp.name in STOCHASTIC_SAMPLERS:
-                    return sampler_fn(den_fn, x, sigmas, skey)
-                return sampler_fn(den_fn, x, sigmas)
+                    return sampler_fn(den_fn, x, sigmas, skey, **kw)
+                return sampler_fn(den_fn, x, sigmas, **kw)
 
             return run
 
         skey = jax.random.fold_in(pkey, 1)
+        aux = None
+        if sp.deepcache > 1:
+            n_and = (len(cond["__and__"]) if isinstance(cond, dict)
+                     and "__and__" in cond else 0)
+            aux = demofusion_deepcache_aux(
+                pipe, plan, cfg, uncond is None, sp.cfg_scale, n_and,
+                sp.deepcache_branch, int(lat0.shape[0]))
         if pipe._cacheable(cond, uncond):
             jkey = ("demofusion", plan.cache_key(), t_enc, int(sigmas.shape[0]),
                     sp.name, sp.cfg_scale, uncond is None,
                     cfg.cosine_scale_1, cfg.cosine_scale_2, cfg.cosine_scale_3,
                     cfg.sigma, cfg.gaussian_filter, cfg.mixture,
-                    _resolve_df_scan(cfg, plan))
+                    _resolve_df_scan(cfg, plan),
+                    sp.deepcache, sp.deepcache_branch,
+                    None if pipe.mesh is None else tuple(pipe.mesh.shape.items()))
             if sp.name in STATIC_SIGMA_SAMPLERS:
                 jkey += (tuple(np.asarray(sigmas_const).tolist()),)
             runner = pipe._cached_jit(jkey, builder)
             latents = runner(pipe.unet_params, pipe.controlnet_params,
                              c_phase, u_phase, sigmas, x,
-                             lat0, noise, jitter, skey)
+                             lat0, noise, jitter, skey, aux)
         else:
             run = builder()
             latents = jax.jit(
-                lambda up, cp, sg, xx, l0, nz, jt, sk: run(up, cp, c_phase,
-                                                           u_phase, sg, xx,
-                                                           l0, nz, jt, sk)
+                lambda up, cp, sg, xx, l0, nz, jt, sk, ax: run(
+                    up, cp, c_phase, u_phase, sg, xx, l0, nz, jt, sk, ax)
             )(pipe.unet_params, pipe.controlnet_params, sigmas, x, lat0,
-              noise, jitter, skey)
+              noise, jitter, skey, aux)
 
         latents = (latents - jnp.mean(latents)) / jnp.std(latents) * anchor_std + anchor_mean
         phases.append(latents)

@@ -241,8 +241,10 @@ def make_tiled_denoiser(
     stateful contract ``sharded_tile_denoise(flat, sigma, step, conds,
     cache)``) and returns ``(x_out, aux)``.  Regions and the org_fn
     passthrough always run the full model — caching accelerates the
-    background grid only (regions are the user-emphasized areas).  Mesh
-    sharding is not combined with caching.
+    background grid only (regions are the user-emphasized areas).  With a
+    ``mesh``, the caches shard over the 'tiles' axis alongside their tiles
+    (one uniform ``[n_dev*n_local_chunks, mult*tile_bs*B, ...]`` array —
+    see _make_sharded_grid).
     """
     is_mod = plan.method == Method.MIX_DIFF
     weights = jnp.asarray(plan.weights)
@@ -272,17 +274,13 @@ def make_tiled_denoiser(
         for i, r in enumerate(plan.regions) if r.blend_mode == BlendMode.FOREGROUND
     }
 
-    if stateful and mesh is not None:
-        raise ValueError(
-            "DeepCache caching is not supported together with mesh sharding "
-            "(drop the mesh or disable deepcache)")
-
     use_sharded = (mesh is not None and sharded_tile_denoise is not None
                    and plan.draw_background and len(plan.bboxes) > 0)
     sharded_grid = None
     if use_sharded:
         sharded_grid = _make_sharded_grid(
-            plan, mesh, sharded_tile_denoise, tile_conds_fn, ptw_np)
+            plan, mesh, sharded_tile_denoise, tile_conds_fn, ptw_np,
+            stateful=stateful)
     use_scan = (not use_sharded and plan.scan_tiles and plan.draw_background
                 and len(plan.batched) > 1 and sharded_tile_denoise is not None
                 and tile_conds_fn is not None)
@@ -308,8 +306,12 @@ def make_tiled_denoiser(
         new_caches = []
 
         scan_cache = None
+        shard_cache = None
         if use_sharded:
-            buf = sharded_grid(x, sigma, step)
+            if stateful:
+                buf, shard_cache = sharded_grid(x, sigma, step, aux)
+            else:
+                buf = sharded_grid(x, sigma, step)
         elif use_scan:
             if stateful:
                 buf, scan_cache = scan_grid(x, sigma, step, aux)
@@ -390,6 +392,8 @@ def make_tiled_denoiser(
             x_out = feather_blend(x_out, feather_buf, feather_msk, feather_cnt)
         if not stateful:
             return x_out, aux
+        if use_sharded:
+            return x_out, shard_cache
         return x_out, (scan_cache if use_scan else tuple(new_caches))
 
     if stateful:
@@ -499,12 +503,23 @@ def _make_scan_grid(plan: DiffusionTilePlan, tile_denoise_flat, tile_conds_fn,
 
 
 def _make_sharded_grid(plan: DiffusionTilePlan, mesh, sharded_tile_denoise,
-                       tile_conds_fn, ptw_np: Optional[np.ndarray]):
+                       tile_conds_fn, ptw_np: Optional[np.ndarray],
+                       stateful: bool = False):
     """Grid-tile fusion sharded over the mesh 'tiles' axis.
 
     Returns ``grid_buf(x, sigma, step) -> [B,C,h,w]`` — the *accumulated*
     canvas (MultiDiffusion: raw scatter-add sums awaiting the weight divide;
     MoD: pre-normalized).
+
+    ``stateful=True`` (DeepCache x mesh): ``sharded_tile_denoise(flat,
+    sigma, step, conds, cache) -> (out, new_cache)`` and the per-chunk
+    feature caches shard over the mesh with the tiles they belong to —
+    ``aux`` is one uniform ``[n_dev * n_local_chunks, mult*tile_bs*B, ...]``
+    array (pipeline._deepcache_aux builds it), in_specs/out_specs
+    ``P('tiles')``, so each device carries the cache for exactly its own
+    tile shard across steps (tile->device assignment is static).  Chunks
+    are always padded to ``tile_bs`` in this mode: the stacked cache needs
+    one uniform call shape.
 
     **Bitwise-deterministic fusion** (BASELINE.md north star): the UNet work
     shards over the mesh, but the shard_map returns the *denoised tiles*
@@ -539,7 +554,7 @@ def _make_sharded_grid(plan: DiffusionTilePlan, mesh, sharded_tile_denoise,
             return a
         return jnp.concatenate([a, jnp.repeat(a[-1:], T_pad - T, axis=0)], axis=0)
 
-    def grid_buf(x, sigma, step):
+    def grid_buf(x, sigma, step, aux=None):
         from ..ops.fusion import gather_tiles
 
         B, C = x.shape[0], x.shape[1]
@@ -548,15 +563,15 @@ def _make_sharded_grid(plan: DiffusionTilePlan, mesh, sharded_tile_denoise,
         conds = jax.tree.map(_pad_tiles, conds)
         cond_specs = jax.tree.map(lambda _: P("tiles"), conds)
 
-        def body(tiles_l, conds_l):
+        def body(tiles_l, conds_l, cache_l=None):
             # tiles_l [t_local,B,C,th,tw]; sigma/step/params enter by closure
             # (replicated).  Denoise in tile_bs-sized chunks to bound HBM —
             # the same per-call batch the unsharded path uses.
-            outs = []
-            for s0 in range(0, t_local, plan.tile_bs):
+            outs, ncaches = [], []
+            for ci, s0 in enumerate(range(0, t_local, plan.tile_bs)):
                 s1 = min(t_local, s0 + plan.tile_bs)
                 k = s1 - s0
-                kp = plan.tile_bs if plan.uniform_batches else k
+                kp = plan.tile_bs if (plan.uniform_batches or stateful) else k
                 chunk = tiles_l[s0:s1]
                 # explicit leading size: -1 can't be inferred for
                 # zero-element leaves (e.g. a [.,0,h,w] txt2img concat)
@@ -573,15 +588,30 @@ def _make_sharded_grid(plan: DiffusionTilePlan, mesh, sharded_tile_denoise,
                 flat = chunk.reshape(kp * B, C, th, tw)
                 cchunk = jax.tree.map(
                     lambda l: l.reshape((kp * l.shape[1],) + l.shape[2:]), cchunk)
-                outs.append(sharded_tile_denoise(flat, sigma, step, cchunk)
-                            .reshape(kp, B, C, th, tw)[:k])
-            return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+                if stateful:
+                    out, nc = sharded_tile_denoise(flat, sigma, step, cchunk,
+                                                   cache_l[ci])
+                    ncaches.append(nc)
+                else:
+                    out = sharded_tile_denoise(flat, sigma, step, cchunk)
+                outs.append(out.reshape(kp, B, C, th, tw)[:k])
+            out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+            if stateful:
+                return out, jnp.stack(ncaches)
+            return out
 
-        out = jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P("tiles"), cond_specs),
-            out_specs=P("tiles"),
-        )(tiles, conds)
+        if stateful:
+            out, new_aux = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P("tiles"), cond_specs, P("tiles")),
+                out_specs=(P("tiles"), P("tiles")),
+            )(tiles, conds, aux)
+        else:
+            out = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P("tiles"), cond_specs),
+                out_specs=P("tiles"),
+            )(tiles, conds)
 
         # Replicated scatter-add in bbox order == the single-device loop,
         # including the MoD per-tile weight multiply placed at the SAME
@@ -595,6 +625,8 @@ def _make_sharded_grid(plan: DiffusionTilePlan, mesh, sharded_tile_denoise,
             if ptw_np is not None:
                 tile = tile * jnp.asarray(ptw_np[t][None, None])
             buf = buf.at[:, :, b.y:b.y + b.h, b.x:b.x + b.w].add(tile)
+        if stateful:
+            return buf, new_aux
         return buf
 
     return grid_buf

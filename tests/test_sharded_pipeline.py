@@ -191,3 +191,19 @@ def test_sharded_vae_decode_encode_match_single(pipes):
     ma = single._encode(x, tv)
     mb = sharded._encode(x, tv)
     np.testing.assert_allclose(np.asarray(ma), np.asarray(mb), atol=2e-4, rtol=1e-4)
+
+
+def test_sharded_deepcache_matches_single(pipes):
+    """DeepCache x mesh (VERDICT r4 item 7): the per-chunk feature caches
+    shard over the 'tiles' axis with their tiles, so cached steps stay
+    device-local.  Compared against the single-device DeepCache run at
+    float tolerance — cache chunking is device-major on the mesh (different
+    UNet batch grouping from the single path's tile_bs batching)."""
+    single, sharded = pipes
+    sp = dataclasses.replace(SAMPLER, steps=4, deepcache=2)
+    kw = dict(width=256, height=128, sampler=sp, seed=42,
+              tiled_diffusion=TD, decode=False)
+    a = single.txt2img(_cond(0), _cond(1), **kw)
+    b = sharded.txt2img(_cond(0), _cond(1), **kw)
+    np.testing.assert_allclose(np.asarray(a.latents), np.asarray(b.latents),
+                               atol=1e-5, rtol=1e-5)
